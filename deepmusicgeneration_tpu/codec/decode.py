@@ -1,0 +1,113 @@
+"""npenc → piano roll → MIDI decoding (core/encodings.py:305-393).
+
+Vectorised inverse of :mod:`.encode`: separator rows advance the timestep
+cursor by their wait value; note rows write their duration at the current
+timestep in their instrument lane.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..vocab import NOTE_SIZE, VALTSEP
+from ..midi.score import chordarr_to_midifile
+from ..midi.smf import MidiFile, render_midi_bytes, write_midi_file
+
+
+def npenc_len(npenc: np.ndarray) -> int:
+    """Total timesteps covered (encodings.py:321-325)."""
+    if len(npenc) == 0:
+        return 1
+    sep = npenc[:, 0] == VALTSEP
+    return int(npenc[sep, 1].sum()) + 1
+
+
+def npenc2chordarr(npenc: np.ndarray, note_size: int = NOTE_SIZE) -> np.ndarray:
+    """Expand npenc rows into the dense (T, I, P) roll (encodings.py:305-319)."""
+    npenc = np.asarray(npenc, dtype=np.int64)
+    if npenc.ndim != 2 or len(npenc) == 0:
+        return np.zeros((1, 1, note_size))
+    if npenc.shape[1] <= 2:
+        num_instruments = 1
+        ins_col = np.zeros(len(npenc), dtype=np.int64)
+    else:
+        num_instruments = int(npenc[:, -1].max()) if len(npenc) else 1
+        num_instruments = max(num_instruments, 0)
+        ins_col = npenc[:, 2]
+    max_len = npenc_len(npenc)
+    score_arr = np.zeros((max_len, num_instruments + 1, note_size))
+
+    is_sep = npenc[:, 0] == VALTSEP
+    is_special = npenc[:, 0] < VALTSEP
+    # timestep of each row: cumulative sum of separator waits seen so far
+    step = np.zeros(len(npenc), dtype=np.int64)
+    step[is_sep] = npenc[is_sep, 1]
+    t_of_row = np.cumsum(step)
+    note_rows = ~is_sep & ~is_special
+    t = t_of_row[note_rows]
+    n = npenc[note_rows, 0]
+    d = npenc[note_rows, 1]
+    i = ins_col[note_rows]
+    ok = (t < max_len) & (n >= 0) & (n < note_size) & (i >= 0) & (i <= num_instruments)
+    score_arr[t[ok], i[ok], n[ok]] = d[ok]
+    return score_arr
+
+
+def chordarr2npenc_roundtrip_ok(chordarr: np.ndarray) -> bool:
+    from .encode import chordarr2npenc
+    return len(chordarr2npenc(chordarr)) > 0
+
+
+def npenc2midifile(npenc: np.ndarray, bpm: float = 120.0,
+                   instr_list: Optional[List[str]] = None) -> MidiFile:
+    """npenc → MidiFile (npenc2stream + .write('midi') equivalent)."""
+    return chordarr_to_midifile(npenc2chordarr(np.asarray(npenc)), bpm=bpm, instr_list=instr_list)
+
+
+def npenc2midibytes(npenc: np.ndarray, bpm: float = 120.0,
+                    instr_list: Optional[List[str]] = None) -> bytes:
+    return render_midi_bytes(npenc2midifile(npenc, bpm, instr_list))
+
+
+def write_npenc_midi(npenc: np.ndarray, path, bpm: float = 120.0,
+                     instr_list: Optional[List[str]] = None) -> None:
+    write_midi_file(npenc2midifile(npenc, bpm, instr_list), path)
+
+
+# -- sanitation helpers (encodings.py:434-473) ------------------------------
+
+def trim_chordarr_rests(arr: np.ndarray, max_rests: int = 4, sample_freq: int = 4) -> np.ndarray:
+    max_sample = max_rests * sample_freq
+    nonzero = (arr != 0).any(axis=(1, 2))
+    if not nonzero.any():
+        return arr[:0]
+    first = int(nonzero.argmax())
+    last = len(arr) - int(nonzero[::-1].argmax())
+    start_idx = first - first % max_sample
+    end_trim = (len(arr) - last) - (len(arr) - last) % max_sample
+    return arr[start_idx:len(arr) - end_trim]
+
+
+def shorten_chordarr_rests(arr: np.ndarray, max_rests: int = 8, sample_freq: int = 4) -> np.ndarray:
+    max_sample = max_rests * sample_freq
+    rest_count = 0
+    result = []
+    for timestep in arr:
+        if (timestep == 0).all():
+            rest_count += 1
+        else:
+            if rest_count > max_sample:
+                rest_count = (rest_count % sample_freq) + max_sample
+            for _ in range(rest_count):
+                result.append(np.zeros(timestep.shape))
+            rest_count = 0
+            result.append(timestep)
+    for _ in range(rest_count):
+        result.append(np.zeros(arr.shape[1:]))
+    return np.array(result) if result else arr[:0]
+
+
+def compress_chordarr(chordarr: np.ndarray) -> np.ndarray:
+    return shorten_chordarr_rests(trim_chordarr_rests(chordarr))
