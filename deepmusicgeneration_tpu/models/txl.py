@@ -1,0 +1,375 @@
+"""MusicTransformerXL: genre-conditioned Transformer-XL LM in functional JAX.
+
+Architecture parity with the reference model (deep_music_genre.py:1603-1665 on
+top of fastai's TransformerXL):
+
+* token embedding (optionally + BeatPositionEncoder: beat-in-bar and bar
+  embeddings of the musical position),
+* N post-norm decoder blocks with relative-position multi-head attention
+  (shared ``u``/``v`` biases across layers, fused qkv projection, per-layer
+  ``r_attn`` projection of a backwards sinusoid table),
+* XL segment memory: each layer attends over the last ``mem_len`` hidden
+  states of previous segments,
+* weight-tied output head.
+
+Two execution modes, both pure functions:
+
+* :func:`forward` — full-window forward used for training and prompt prefill.
+  Memory is a right-aligned ``(n_layers, B, M, D)`` buffer of layer inputs +
+  a valid counter; shapes never change under jit.
+* :func:`decode_step` — single-token step against a right-aligned per-layer
+  K/V cache (projecting cached hiddens through the layer's K/V weights is
+  linear, so caching K/V directly is mathematically identical to the
+  reference's hidden-state memory while avoiding 2 matmuls per layer·step).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.rel_attention import (
+    causal_window_mask,
+    rel_attention,
+    sinusoid_pos_enc,
+)
+from .config import TXLConfig
+
+
+def _linear_init(rng, shape, std=0.02):
+    return std * jax.random.normal(rng, shape, dtype=jnp.float32)
+
+
+def init_txl(rng: jax.Array, cfg: TXLConfig) -> Dict:
+    """Parameter pytree; init mirrors fastai init_transformer (N(0, .02),
+    LayerNorm weight N(1, .02), zero biases)."""
+    keys = iter(jax.random.split(rng, 16 + 16 * cfg.n_layers))
+    H, Dh, D = cfg.n_heads, cfg.d_head, cfg.d_model
+    params = {
+        "embed": _linear_init(next(keys), (cfg.vocab_size, D)),
+        "u": _linear_init(next(keys), (H, 1, Dh)),
+        "v": _linear_init(next(keys), (H, 1, Dh)),
+        "head_b": jnp.zeros((cfg.vocab_size,), jnp.float32) if cfg.out_bias else None,
+    }
+    if cfg.encode_position:
+        params["beat_enc"] = _linear_init(next(keys), (cfg.beat_len, D))
+        params["bar_enc"] = _linear_init(next(keys), (cfg.max_bar_len, D))
+    layers = []
+    for _ in range(cfg.n_layers):
+        lp = {
+            "qkv_w": _linear_init(next(keys), (D, 3 * H * Dh)),
+            "qkv_b": jnp.zeros((3 * H * Dh,)) if cfg.bias else None,
+            "r_w": _linear_init(next(keys), (D, H * Dh)),
+            "r_b": jnp.zeros((H * Dh,)) if cfg.bias else None,
+            "out_w": _linear_init(next(keys), (H * Dh, D)),
+            "out_b": jnp.zeros((D,)) if cfg.bias else None,
+            "ln1_g": 1.0 + _linear_init(next(keys), (D,)),
+            "ln1_b": jnp.zeros((D,)),
+            "ff1_w": _linear_init(next(keys), (D, cfg.d_inner)),
+            "ff1_b": jnp.zeros((cfg.d_inner,)),
+            "ff2_w": _linear_init(next(keys), (cfg.d_inner, D)),
+            "ff2_b": jnp.zeros((D,)),
+            "ln2_g": 1.0 + _linear_init(next(keys), (D,)),
+            "ln2_b": jnp.zeros((D,)),
+        }
+        layers.append(lp)
+    params["layers"] = layers
+    return params
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def _layer_norm(x, g, b, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    out = (x32 - mu) * jax.lax.rsqrt(var + eps) * g + b
+    return out.astype(x.dtype)
+
+
+def _act(x, kind: str):
+    if kind == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if kind == "relu":
+        return jax.nn.relu(x)
+    raise ValueError(kind)
+
+
+def _dropout(x, rate, rng, train):
+    if not train or rate == 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
+
+
+def beat_position_emb(params, cfg: TXLConfig, pos: jnp.ndarray) -> jnp.ndarray:
+    """BeatPositionEncoder (deep_music_genre.py:1651-1665): beat-in-bar +
+    bar-index embeddings; index 0 is a padding slot (zeroed)."""
+    beat = pos % cfg.beat_len
+    bar = jnp.minimum(pos // cfg.beat_len % cfg.max_bar_len, cfg.max_bar_len - 1)
+    beat_e = params["beat_enc"][beat]
+    bar_e = params["bar_enc"][bar]
+    # padding_idx=0 semantics: embedding row 0 contributes nothing
+    beat_e = jnp.where((beat == 0)[..., None], 0.0, beat_e)
+    bar_e = jnp.where((bar == 0)[..., None], 0.0, bar_e)
+    return beat_e + bar_e
+
+
+def _qkv(lp, h, H, Dh):
+    y = h @ lp["qkv_w"].astype(h.dtype)
+    if lp["qkv_b"] is not None:
+        y = y + lp["qkv_b"].astype(h.dtype)
+    B, L, _ = y.shape
+    q, k, v = jnp.split(y, 3, axis=-1)
+    reshape = lambda t: t.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+    return reshape(q), reshape(k), reshape(v)
+
+
+def _wkr(lp, r, H, Dh):
+    # r: (K, D) sinusoid table → (H, K, Dh)
+    y = r @ lp["r_w"].astype(r.dtype)
+    if lp["r_b"] is not None:
+        y = y + lp["r_b"].astype(r.dtype)
+    K = r.shape[0]
+    return y.reshape(K, H, Dh).transpose(1, 0, 2)
+
+
+def _block(lp, cfg: TXLConfig, h, h_ctx, r, u, v, mask, rngs, train):
+    """One post-norm TXL block: rel-attention over [mem, x] then FFN."""
+    H, Dh = cfg.n_heads, cfg.d_head
+    q, _, _ = _qkv(lp, h, H, Dh)
+    _, k, vv = _qkv(lp, h_ctx, H, Dh)
+    wkr = _wkr(lp, r, H, Dh)
+    attn = rel_attention(q, k, vv, wkr, u, v, mask=mask, scale=cfg.scale, shift=True)
+    B, _, L, _ = attn.shape
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
+    out = attn @ lp["out_w"].astype(attn.dtype)
+    if lp["out_b"] is not None:
+        out = out + lp["out_b"].astype(out.dtype)
+    if rngs is not None:
+        out = _dropout(out, cfg.resid_p, rngs[0], train)
+    h = _layer_norm(h + out, lp["ln1_g"], lp["ln1_b"])
+
+    ff = _act(h @ lp["ff1_w"].astype(h.dtype) + lp["ff1_b"].astype(h.dtype), cfg.act)
+    if rngs is not None:
+        ff = _dropout(ff, cfg.ff_p, rngs[1], train)
+    ff = ff @ lp["ff2_w"].astype(ff.dtype) + lp["ff2_b"].astype(ff.dtype)
+    if rngs is not None:
+        ff = _dropout(ff, cfg.ff_p, rngs[2], train)
+    h = _layer_norm(h + ff, lp["ln2_g"], lp["ln2_b"])
+    return h
+
+
+class TXLState(NamedTuple):
+    """XL hidden-state memory: right-aligned (n_layers, B, M, D) + fill count."""
+    mem: jnp.ndarray
+    valid: jnp.ndarray  # int32 scalar
+
+
+def init_state(cfg: TXLConfig, batch: int, mem_len: Optional[int] = None) -> TXLState:
+    M = cfg.mem_len if mem_len is None else mem_len
+    mem = jnp.zeros((cfg.n_layers, batch, M, cfg.d_model), cfg.act_dtype)
+    return TXLState(mem=mem, valid=jnp.zeros((), jnp.int32))
+
+
+def forward(
+    params: Dict,
+    cfg: TXLConfig,
+    x: jnp.ndarray,                      # (B, L) int32 token ids
+    pos: Optional[jnp.ndarray] = None,   # (B, L) beat positions
+    state: Optional[TXLState] = None,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    win_size: int = 1,
+    win_k: int = 1,
+    pad_mask: Optional[jnp.ndarray] = None,  # (B, L) True where x is padding
+) -> Tuple[jnp.ndarray, TXLState]:
+    """Full-window forward. Returns (logits (B, L, V), new_state)."""
+    B, L = x.shape
+    dt = cfg.act_dtype
+    emb = params["embed"][x].astype(dt)
+    if cfg.encode_position and pos is not None:
+        emb = emb + beat_position_emb(params, cfg, pos).astype(dt)
+    n_rng = 1 + 3 * cfg.n_layers
+    rngs = list(jax.random.split(rng, n_rng)) if (train and rng is not None) else None
+    h = _dropout(emb, cfg.embed_p, rngs[0] if rngs else None, train)
+
+    M = state.mem.shape[2] if state is not None else 0
+    seq = M + L
+    r = sinusoid_pos_enc(jnp.arange(seq - 1, -1, -1), cfg.d_model, dtype=dt)
+    mask = causal_window_mask(L, M, win_size, win_k,
+                              mem_valid=state.valid if state is not None else None)
+    if pad_mask is not None:
+        # block attention *to* padded positions of the current window
+        blocked_cols = jnp.concatenate(
+            [jnp.zeros((B, M), bool), pad_mask], axis=1)[:, None, None, :]
+        mask = mask | blocked_cols
+
+    new_mem_layers = []
+    for i, lp in enumerate(params["layers"]):
+        if state is not None:
+            h_ctx = jnp.concatenate([state.mem[i].astype(dt), h], axis=1)
+            new_mem_layers.append(
+                jax.lax.stop_gradient(h_ctx[:, -M:]) if M else state.mem[i])
+        else:
+            h_ctx = h
+        layer_rngs = rngs[1 + 3 * i:4 + 3 * i] if rngs else None
+        h = _block(lp, cfg, h, h_ctx, r, params["u"].astype(dt), params["v"].astype(dt),
+                   mask, layer_rngs, train)
+
+    out = _dropout(h, cfg.output_p, None if rngs is None else jax.random.fold_in(rngs[0], 1), train)
+    logits = out.astype(jnp.float32) @ params["embed"].T.astype(jnp.float32)
+    if params.get("head_b") is not None:
+        logits = logits + params["head_b"]
+    if state is not None and M:
+        new_state = TXLState(mem=jnp.stack(new_mem_layers),
+                             valid=jnp.minimum(state.valid + L, M))
+    else:
+        new_state = state
+    return logits, new_state
+
+
+# ---------------------------------------------------------------------------
+# KV-cache decode
+# ---------------------------------------------------------------------------
+
+class KVCache(NamedTuple):
+    """Right-aligned per-layer K/V cache: (n_layers, B, M, H, Dh)."""
+    k: jnp.ndarray
+    v: jnp.ndarray
+    valid: jnp.ndarray  # int32 scalar (or (B,) vector)
+
+
+def init_kv_cache(cfg: TXLConfig, batch: int, mem_len: Optional[int] = None) -> KVCache:
+    M = cfg.mem_len if mem_len is None else mem_len
+    shape = (cfg.n_layers, batch, M, cfg.n_heads, cfg.d_head)
+    return KVCache(k=jnp.zeros(shape, cfg.act_dtype), v=jnp.zeros(shape, cfg.act_dtype),
+                   valid=jnp.zeros((batch,), jnp.int32))
+
+
+def prefill(
+    params: Dict,
+    cfg: TXLConfig,
+    x: jnp.ndarray,            # (B, W) LEFT-padded prompt window
+    pad_mask: jnp.ndarray,     # (B, W) True where x is left-padding
+    pos: Optional[jnp.ndarray] = None,
+    mem_len: Optional[int] = None,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Process a fixed-width prompt window, returning last-token logits and a
+    KV cache holding the window's keys/values (right-aligned by construction).
+
+    The prompt is left-padded so the most recent token sits at the window's
+    last slot; padded columns are masked out of attention and contribute
+    nothing to softmax, so cache validity is just the true prompt length.
+    """
+    B, W = x.shape
+    dt = cfg.act_dtype
+    M = cfg.mem_len if mem_len is None else mem_len
+    emb = params["embed"][x].astype(dt)
+    if cfg.encode_position and pos is not None:
+        emb = emb + beat_position_emb(params, cfg, pos).astype(dt)
+    h = emb
+    r = sinusoid_pos_enc(jnp.arange(W - 1, -1, -1), cfg.d_model, dtype=dt)
+    mask = causal_window_mask(W, 0, 1, 1)
+    mask = mask | pad_mask[:, None, None, :]
+
+    H, Dh = cfg.n_heads, cfg.d_head
+    ks, vs = [], []
+    for lp in params["layers"]:
+        q, k, vv = _qkv(lp, h, H, Dh)
+        # cache the last M slots (B, M, H, Dh)
+        ks.append(k.transpose(0, 2, 1, 3)[:, -M:])
+        vs.append(vv.transpose(0, 2, 1, 3)[:, -M:])
+        wkr = _wkr(lp, r, H, Dh)
+        attn = rel_attention(q, k, vv, wkr, params["u"].astype(dt), params["v"].astype(dt),
+                             mask=mask, scale=cfg.scale, shift=True)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, W, H * Dh)
+        out = attn @ lp["out_w"].astype(dt)
+        if lp["out_b"] is not None:
+            out = out + lp["out_b"].astype(dt)
+        h = _layer_norm(h + out, lp["ln1_g"], lp["ln1_b"])
+        ff = _act(h @ lp["ff1_w"].astype(dt) + lp["ff1_b"].astype(dt), cfg.act)
+        ff = ff @ lp["ff2_w"].astype(dt) + lp["ff2_b"].astype(dt)
+        h = _layer_norm(h + ff, lp["ln2_g"], lp["ln2_b"])
+
+    logits = h[:, -1].astype(jnp.float32) @ params["embed"].T.astype(jnp.float32)
+    if params.get("head_b") is not None:
+        logits = logits + params["head_b"]
+    n_valid = jnp.minimum((~pad_mask).sum(axis=1).astype(jnp.int32), M)  # (B,)
+    if W < M:
+        padk = [(0, 0), (0, 0), (M - W, 0), (0, 0), (0, 0)]
+        cache = KVCache(k=jnp.pad(jnp.stack(ks), padk), v=jnp.pad(jnp.stack(vs), padk),
+                        valid=n_valid)
+    else:
+        cache = KVCache(k=jnp.stack(ks), v=jnp.stack(vs), valid=n_valid)
+    return logits, cache
+
+
+def decode_step(
+    params: Dict,
+    cfg: TXLConfig,
+    tok: jnp.ndarray,    # (B,) int32 current token
+    pos: jnp.ndarray,    # (B,) beat position of current token (may be zeros)
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step: logits for the next token + updated cache.
+
+    Attention context is the M cached tokens plus the current one; the cache
+    shifts left by one slot per step (XLA turns this into a copy that is
+    negligible next to the matmuls; a ring-buffer Pallas variant can remove
+    it later without changing this interface).
+    """
+    B = tok.shape[0]
+    dt = cfg.act_dtype
+    H, Dh = cfg.n_heads, cfg.d_head
+    M = cache.k.shape[2]
+    emb = params["embed"][tok].astype(dt)[:, None, :]  # (B, 1, D)
+    if cfg.encode_position:
+        emb = emb + beat_position_emb(params, cfg, pos[:, None]).astype(dt)
+    h = emb
+    # distances: current token attends over [M cached ... self] → rel dist M..0
+    r = sinusoid_pos_enc(jnp.arange(M, -1, -1), cfg.d_model, dtype=dt)
+    slot = jnp.arange(M + 1)[None, None, None, :]
+    # blocked stale slots per batch row; self (slot M) always visible
+    mask = slot < (M - cache.valid.reshape(B, 1, 1, 1))
+
+    new_k, new_v = [], []
+    u_b, v_b = params["u"].astype(dt), params["v"].astype(dt)
+    for i, lp in enumerate(params["layers"]):
+        q, k1, v1 = _qkv(lp, h, H, Dh)       # (B, H, 1, Dh)
+        k_cached = cache.k[i].transpose(0, 2, 1, 3).astype(dt)  # (B, H, M, Dh)
+        v_cached = cache.v[i].transpose(0, 2, 1, 3).astype(dt)
+        k_full = jnp.concatenate([k_cached, k1], axis=2)        # (B, H, M+1, Dh)
+        v_full = jnp.concatenate([v_cached, v1], axis=2)
+        wkr = _wkr(lp, r, H, Dh)
+        attn = rel_attention(q, k_full, v_full, wkr, u_b, v_b, mask=mask,
+                             scale=cfg.scale, shift=False)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
+        out = attn @ lp["out_w"].astype(dt)
+        if lp["out_b"] is not None:
+            out = out + lp["out_b"].astype(dt)
+        h2 = _layer_norm(h + out, lp["ln1_g"], lp["ln1_b"])
+        ff = _act(h2 @ lp["ff1_w"].astype(dt) + lp["ff1_b"].astype(dt), cfg.act)
+        ff = ff @ lp["ff2_w"].astype(dt) + lp["ff2_b"].astype(dt)
+        h = _layer_norm(h2 + ff, lp["ln2_g"], lp["ln2_b"])
+        # shift-append into the cache (right-aligned)
+        new_k.append(jnp.concatenate([cache.k[i][:, 1:], k1.transpose(0, 2, 1, 3)], axis=1))
+        new_v.append(jnp.concatenate([cache.v[i][:, 1:], v1.transpose(0, 2, 1, 3)], axis=1))
+
+    logits = h[:, 0].astype(jnp.float32) @ params["embed"].T.astype(jnp.float32)
+    if params.get("head_b") is not None:
+        logits = logits + params["head_b"]
+    new_cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v),
+                        valid=jnp.minimum(cache.valid + 1, M))
+    return logits, new_cache
+
+
+def txl_config_41m() -> TXLConfig:
+    from .config import btp_phase1_config
+    return btp_phase1_config()

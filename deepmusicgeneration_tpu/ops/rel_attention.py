@@ -1,0 +1,111 @@
+"""Relative-position multi-head attention primitives (Transformer-XL style).
+
+Implements the math of fastai's MultiHeadRelativeAttention / the reference's
+MemMultiHeadRelativeAttentionKV (deep_music_remix.py:2025-2104): attention
+scores are ``AC + BD`` where ``AC = (q + u)·kᵀ`` is content addressing and
+``BD = skew((q + v)·R)`` is relative-position addressing over a backwards
+sinusoid table, scaled by ``1/sqrt(d_head)``.
+
+Everything is a pure function of arrays: no modules, no state. Memory is an
+explicit right-aligned window the caller concatenates, which makes the math
+independent of how full the window is (masked slots don't contribute) and
+keeps every shape static under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # mask fill; avoids NaNs from (-inf) - (-inf) in softmax
+
+
+def sinusoid_pos_enc(positions, d_model: int, dtype=jnp.float32) -> jnp.ndarray:
+    """fastai PositionalEncoding: concat(sin(p·f), cos(p·f)), f = 10000^(-2i/d).
+
+    Positions are always trace-time constants (backwards ranges over static
+    sequence lengths), so the table is built on the host in float64 — fp32
+    ``pow`` discrepancies otherwise get amplified by large positions — and
+    embedded as a literal that XLA constant-folds.
+    """
+    import numpy as np
+    pos = np.asarray(positions, dtype=np.float64)
+    freq = 1.0 / (10000 ** (np.arange(0, d_model, 2, dtype=np.float64) / d_model))
+    inp = np.outer(pos, freq)
+    table = np.concatenate([np.sin(inp), np.cos(inp)], axis=-1)
+    return jnp.asarray(table.astype(np.float32)).astype(dtype)
+
+
+def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """fastai `_line_shift`: align the (q, k) grid of relative scores.
+
+    x: (..., Q, K). Pads one zero column on the left, views as (K+1, Q) and
+    drops the first row — the classic Transformer-XL skewing trick, expressed
+    with reshape/slice ops XLA folds into the surrounding fusion.
+    """
+    *lead, q, k = x.shape
+    x_pad = jnp.pad(x, [(0, 0)] * len(lead) + [(0, 0), (1, 0)])
+    x_shift = x_pad.reshape(*lead, k + 1, q)[..., 1:, :].reshape(*lead, q, k)
+    return x_shift
+
+
+def rel_attention(
+    q: jnp.ndarray,          # (B, H, Q, Dh)
+    k: jnp.ndarray,          # (B, H, K, Dh)
+    v: jnp.ndarray,          # (B, H, K, Dh)
+    wkr: jnp.ndarray,        # (H, K, Dh) — R projected through r_attn
+    u_bias: jnp.ndarray,     # (H, 1, Dh)
+    v_bias: jnp.ndarray,     # (H, 1, Dh)
+    mask: jnp.ndarray = None,  # (B|1, 1|H, Q, K) bool, True = BLOCKED (reference convention)
+    scale: bool = True,
+    shift: bool = True,
+) -> jnp.ndarray:
+    """Core AC+BD attention; returns (B, H, Q, Dh).
+
+    ``shift=False`` is the single-token decode fast path where the skew is the
+    identity (Q == 1) and BD indexes the distance table directly.
+    """
+    dh = q.shape[-1]
+    acc_t = jnp.float32
+    ac = jnp.einsum("bhqd,bhkd->bhqk", q + u_bias, k, preferred_element_type=acc_t)
+    bd = jnp.einsum("bhqd,hkd->bhqk", q + v_bias, wkr, preferred_element_type=acc_t)
+    if shift:
+        bd = rel_shift(bd)
+    score = ac + bd
+    if scale:
+        score = score * (1.0 / jnp.sqrt(jnp.asarray(dh, acc_t)))
+    if mask is not None:
+        score = jnp.where(mask, NEG_INF, score)
+    prob = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", prob, v, preferred_element_type=acc_t)
+    return out.astype(v.dtype)
+
+
+def causal_window_mask(x_len: int, m_len: int, win_size: int = 1, k: int = 1,
+                       mem_valid=None) -> jnp.ndarray:
+    """Reference `window_mask` (deep_music_genre.py:1577-1584): block-causal
+    over windows of ``win_size`` with diagonal offset ``k``; memory columns
+    always visible (up to ``mem_valid`` slots, right-aligned).
+
+    Returns bool (1, 1, x_len, m_len + x_len), True = blocked.
+    """
+    rows = jnp.arange(x_len)[:, None] // win_size
+    cols = jnp.arange(x_len)[None, :] // win_size
+    win = cols >= rows + k  # triu(diagonal=k) on the window grid
+    if x_len:
+        win = win.at[:, 0].set(False)  # always allow attending the first token
+    mem = jnp.zeros((x_len, m_len), dtype=bool)
+    if mem_valid is not None and m_len:
+        slot = jnp.arange(m_len)[None, :]
+        mem = jnp.broadcast_to(slot < (m_len - mem_valid), (x_len, m_len))
+    full = jnp.concatenate([mem, win], axis=1)
+    return full[None, None]
+
+
+def mem_validity_mask(x_len: int, m_len: int, mem_valid) -> jnp.ndarray:
+    """(1, 1, x_len, m_len + x_len) blocking only the unfilled memory slots —
+    the bidirectional-encoder case (no causal structure)."""
+    slot = jnp.arange(m_len)[None, :]
+    mem = jnp.broadcast_to(slot < (m_len - mem_valid), (x_len, m_len))
+    full = jnp.concatenate([mem, jnp.zeros((x_len, x_len), bool)], axis=1)
+    return full[None, None]
