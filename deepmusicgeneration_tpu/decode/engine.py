@@ -1,0 +1,315 @@
+"""Single-compiled-loop autoregressive generation engine.
+
+Replaces the reference's host-driven token loop (`MusicLearner.predict`,
+deep_music_genre.py:1853-1972) with one ``lax.scan`` that runs entirely on
+device: model step, grammar-constraint masking, per-token-type temperature,
+repeat penalty, top-k/top-p filtering, categorical sampling, beat tracking and
+bar-boundary stopping. No host↔device transfer happens between tokens.
+
+Parity contract with the reference engine:
+* grammar masks come from :mod:`..codec.grammar` (bit-identical tables),
+* temperature slots: prev duration → temperatures[2] (instrument), prev
+  ins/pad → temperatures[0] (note), otherwise → temperatures[1] (duration);
+  two-temperature engines use the ``twotemp`` slot table,
+* repeat penalty ``max(0, log((c+1)/4)/5)·T`` grown when ≤ 2 choices survive,
+* BOS banned until ``min_bars`` bars were generated,
+* early stop when 80% of the budget is used and the absolute bar index is a
+  multiple of 4, or when BOS is sampled,
+* greedy mode is argmax over the same filtered logits (used for parity
+  benchmarks — RNG-free).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec import grammar as G
+from ..models import txl
+from ..models.config import TXLConfig
+from ..ops.sampling import FILTER_VALUE, num_choices, sample_categorical, top_k_top_p
+from ..vocab import SAMPLE_FREQ, MusicVocab
+
+
+@dataclass(frozen=True)
+class SamplerSettings:
+    """Static sampling configuration (part of the jit cache key)."""
+
+    n_words: int = 512
+    top_k: int = 30
+    temp_mode: str = "genre"   # 'genre' (3 temps) | 'twotemp'
+    greedy: bool = False
+    use_min_bars_ban: bool = True
+    bar_stop: bool = True      # 80%-budget bar-boundary early stop
+
+
+class DecodeTables(NamedTuple):
+    """Device-resident constant tables derived from the vocabulary."""
+    allowed: jnp.ndarray      # (3, 2, V) bool
+    prev_class: jnp.ndarray   # (V,) int32
+    temp_slot: jnp.ndarray    # (V,) int32
+    sep_idx: int
+    bos_idx: int
+    ni_idx: int
+    pad_idx: int
+    dur_lo: int
+
+
+def build_tables(vocab: MusicVocab, temp_mode: str = "genre") -> DecodeTables:
+    return DecodeTables(
+        allowed=jnp.asarray(G.allowed_table(vocab)),
+        prev_class=jnp.asarray(G.prev_class_table(vocab)),
+        temp_slot=jnp.asarray(G.temp_slot_table(vocab, temp_mode)),
+        sep_idx=vocab.sep_idx,
+        bos_idx=vocab.bos_idx,
+        ni_idx=vocab.ni_idx,
+        pad_idx=vocab.pad_idx,
+        dur_lo=vocab.dur_range[0],
+    )
+
+
+class SampleState(NamedTuple):
+    prev_tok: jnp.ndarray     # (B,) int32
+    last_pos: jnp.ndarray     # (B,) int32 beat-step position
+    start_pos: jnp.ndarray    # (B,) int32
+    last_xxsep: jnp.ndarray   # (B,) bool
+    repeat_count: jnp.ndarray # (B,) int32
+    done: jnp.ndarray         # (B,) bool
+    n_emitted: jnp.ndarray    # (B,) int32
+
+
+def sample_next_token(
+    logits: jnp.ndarray,          # (B, V) fp32
+    st: SampleState,
+    tables: DecodeTables,
+    temperatures: jnp.ndarray,    # (3,) fp32
+    top_p: jnp.ndarray,           # scalar
+    min_bars: jnp.ndarray,        # scalar int32
+    allowed_ins: jnp.ndarray,     # (V,) bool overlay
+    rng: jax.Array,
+    settings: SamplerSettings,
+    step_frac: jnp.ndarray,       # scalar fp32: i / n_words
+) -> Tuple[jnp.ndarray, SampleState]:
+    """One full sampling step given model logits. Pure; called inside scan."""
+    B, V = logits.shape
+    prev = st.prev_tok
+    # last_xxsep flag update from prev (deep_music_genre.py:1901-1905)
+    last_xxsep = jnp.where(prev == tables.sep_idx, True,
+                           jnp.where(prev == tables.ni_idx, False, st.last_xxsep))
+
+    cls = tables.prev_class[prev]                       # (B,)
+    slot = tables.temp_slot[prev]
+    temperature = temperatures[slot]                    # (B,)
+    penalty = jnp.maximum(0.0, jnp.log((st.repeat_count + 1) / 4.0) / 5.0) * temperature
+    temperature = temperature + penalty
+    logits = logits / temperature[:, None]
+
+    # min-bars BOS ban (applies while bars generated ≤ min_bars)
+    if settings.use_min_bars_ban:
+        bars = (st.last_pos - st.start_pos) // (SAMPLE_FREQ * 4)
+        ban_bos = bars <= min_bars
+        logits = logits.at[:, tables.bos_idx].set(
+            jnp.where(ban_bos, FILTER_VALUE, logits[:, tables.bos_idx]))
+
+    # grammar mask: gather the (V,) allowed row per batch element
+    ok = tables.allowed[cls, last_xxsep.astype(jnp.int32)]  # (B, V)
+    ok = ok & allowed_ins[None, :]
+    logits = jnp.where(ok, logits, FILTER_VALUE)
+
+    logits = top_k_top_p(logits, settings.top_k, top_p)
+
+    if settings.greedy:
+        idx = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+        idx = sample_categorical(rng, logits).astype(jnp.int32)
+
+    # repeat-count bookkeeping
+    nc = num_choices(logits)
+    repeat_count = jnp.where(nc <= 2, st.repeat_count + 1, st.repeat_count // 2)
+
+    # beat position: a duration following xxsep advances the song position
+    was_sep = prev == tables.sep_idx
+    duration = idx - tables.dur_lo
+    last_pos = jnp.where(was_sep & ~st.done, st.last_pos + duration, st.last_pos)
+
+    # stopping: bar boundary after 80% of budget, or sampled BOS
+    abs_bar = last_pos // (SAMPLE_FREQ * 4)
+    stop_bar = was_sep & (step_frac > 0.80) & (abs_bar % 4 == 0) if settings.bar_stop else jnp.zeros_like(was_sep)
+    stop_bos = idx == tables.bos_idx
+    done = st.done | stop_bar | stop_bos
+
+    # once done, emit pad and freeze state
+    idx = jnp.where(st.done, tables.pad_idx, idx)
+    n_emitted = st.n_emitted + (~st.done).astype(jnp.int32)
+    new_st = SampleState(
+        prev_tok=jnp.where(st.done, st.prev_tok, idx),
+        last_pos=last_pos,
+        start_pos=st.start_pos,
+        last_xxsep=jnp.where(st.done, st.last_xxsep, last_xxsep),
+        repeat_count=jnp.where(st.done, st.repeat_count, repeat_count),
+        done=done,
+        n_emitted=n_emitted,
+    )
+    return idx, new_st
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "settings", "window", "mem_len"),
+)
+def generate_compiled(
+    params: Dict,
+    cfg: TXLConfig,
+    window_toks: jnp.ndarray,    # (B, W) left-padded prompt
+    window_pad: jnp.ndarray,     # (B, W) bool, True = pad
+    window_pos: jnp.ndarray,     # (B, W) int32 beat positions
+    start_last_pos: jnp.ndarray, # (B,) last beat position of the prompt
+    tables: DecodeTables,
+    temperatures: jnp.ndarray,
+    top_p: jnp.ndarray,
+    min_bars: jnp.ndarray,
+    allowed_ins: jnp.ndarray,
+    rng: jax.Array,
+    settings: SamplerSettings,
+    window: int,
+    mem_len: int,
+):
+    """Prefill + fused sampling scan. Returns (tokens (B, n_words), lengths (B,))."""
+    B = window_toks.shape[0]
+    logits, cache = txl.prefill(params, cfg, window_toks, window_pad,
+                                pos=window_pos, mem_len=mem_len)
+
+    prev0 = window_toks[:, -1]
+    st0 = SampleState(
+        prev_tok=prev0.astype(jnp.int32),
+        last_pos=start_last_pos.astype(jnp.int32),
+        start_pos=start_last_pos.astype(jnp.int32),
+        last_xxsep=jnp.zeros((B,), bool),
+        repeat_count=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), bool),
+        n_emitted=jnp.zeros((B,), jnp.int32),
+    )
+
+    def step(carry, i):
+        cache, st, logits, rng = carry
+        rng, sub = jax.random.split(rng)
+        step_frac = i.astype(jnp.float32) / settings.n_words
+        idx, st = sample_next_token(logits, st, tables, temperatures, top_p,
+                                    min_bars, allowed_ins, sub, settings, step_frac)
+        logits, cache = txl.decode_step(params, cfg, idx, st.last_pos, cache)
+        return (cache, st, logits, rng), idx
+
+    (_, st, _, _), toks = jax.lax.scan(
+        step, (cache, st0, logits, rng), jnp.arange(settings.n_words))
+    return toks.T, st.n_emitted  # (B, n_words), (B,)
+
+
+# ---------------------------------------------------------------------------
+# Host-level wrapper
+# ---------------------------------------------------------------------------
+
+def _bucket(n: int, buckets=(128, 256, 512, 1024, 2048)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class GenerationEngine:
+    """Host wrapper: prompt packing, jit cache, post-trim.
+
+    One instance per (params, cfg, vocab); compiled executables are cached per
+    (batch, window, n_words, settings) bucket.
+    """
+
+    def __init__(self, params: Dict, cfg: TXLConfig, vocab: MusicVocab):
+        self.params = params
+        self.cfg = cfg
+        self.vocab = vocab
+        self._tables = {}
+
+    def tables(self, temp_mode: str) -> DecodeTables:
+        if temp_mode not in self._tables:
+            self._tables[temp_mode] = build_tables(self.vocab, temp_mode)
+        return self._tables[temp_mode]
+
+    def generate(
+        self,
+        seed_idxenc: np.ndarray,
+        seed_pos: Optional[np.ndarray] = None,
+        n_words: int = 512,
+        temperatures: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+        min_bars: int = 4,
+        top_k: int = 30,
+        top_p: float = 0.6,
+        allowed_ins=None,
+        greedy: bool = False,
+        temp_mode: str = "genre",
+        seed: int = 0,
+        mem_len: Optional[int] = None,
+    ) -> np.ndarray:
+        """Generate continuation tokens for one prompt; returns the new ids."""
+        toks, lengths = self.generate_batch(
+            [np.asarray(seed_idxenc)],
+            [seed_pos] if seed_pos is not None else None,
+            n_words=n_words, temperatures=temperatures, min_bars=min_bars,
+            top_k=top_k, top_p=top_p, allowed_ins=allowed_ins, greedy=greedy,
+            temp_mode=temp_mode, seed=seed, mem_len=mem_len)
+        return toks[0][: lengths[0]]
+
+    def generate_batch(
+        self,
+        seeds,
+        seed_positions=None,
+        n_words: int = 512,
+        temperatures=(1.0, 1.0, 1.0),
+        min_bars: int = 4,
+        top_k: int = 30,
+        top_p: float = 0.6,
+        allowed_ins=None,
+        greedy: bool = False,
+        temp_mode: str = "genre",
+        seed: int = 0,
+        mem_len: Optional[int] = None,
+    ):
+        from ..codec.index import position_enc
+
+        B = len(seeds)
+        mem_len = mem_len or self.cfg.mem_len
+        W = _bucket(max(len(s) for s in seeds))
+        W = min(W, max(self.cfg.ctx_len, mem_len))
+        toks = np.full((B, W), self.vocab.pad_idx, dtype=np.int32)
+        pad = np.ones((B, W), dtype=bool)
+        pos = np.zeros((B, W), dtype=np.int32)
+        last_pos = np.zeros((B,), dtype=np.int32)
+        for i, s in enumerate(seeds):
+            s = np.asarray(s)[-W:]
+            p = (np.asarray(seed_positions[i])[-W:] if seed_positions is not None
+                 else position_enc(s, self.vocab))
+            toks[i, W - len(s):] = s
+            pad[i, W - len(s):] = False
+            pos[i, W - len(s):] = p[:len(s)]
+            last_pos[i] = p[-1] if len(p) else 0
+
+        if len(temperatures) == 2:
+            temperatures = (temperatures[0], temperatures[1], temperatures[1])
+        settings = SamplerSettings(n_words=n_words, top_k=top_k,
+                                   temp_mode=temp_mode, greedy=greedy)
+        tables = self.tables(temp_mode)
+        from ..codec.grammar import allowed_ins_mask
+        ins_mask = jnp.asarray(allowed_ins_mask(self.vocab, allowed_ins))
+
+        out, lengths = generate_compiled(
+            self.params, self.cfg,
+            jnp.asarray(toks), jnp.asarray(pad), jnp.asarray(pos),
+            jnp.asarray(last_pos), tables,
+            jnp.asarray(np.asarray(temperatures, np.float32)),
+            jnp.asarray(np.float32(top_p)), jnp.asarray(np.int32(min_bars)),
+            ins_mask, jax.random.PRNGKey(seed), settings,
+            window=W, mem_len=mem_len)
+        return np.asarray(out), np.asarray(lengths)

@@ -33,9 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.rel_attention import (
+    backwards_pos_enc,
     causal_window_mask,
     rel_attention,
-    sinusoid_pos_enc,
 )
 from .config import TXLConfig
 
@@ -202,7 +202,7 @@ def forward(
 
     M = state.mem.shape[2] if state is not None else 0
     seq = M + L
-    r = sinusoid_pos_enc(jnp.arange(seq - 1, -1, -1), cfg.d_model, dtype=dt)
+    r = backwards_pos_enc(seq, cfg.d_model, dtype=dt)
     mask = causal_window_mask(L, M, win_size, win_k,
                               mem_valid=state.valid if state is not None else None)
     if pad_mask is not None:
@@ -275,7 +275,7 @@ def prefill(
     if cfg.encode_position and pos is not None:
         emb = emb + beat_position_emb(params, cfg, pos).astype(dt)
     h = emb
-    r = sinusoid_pos_enc(jnp.arange(W - 1, -1, -1), cfg.d_model, dtype=dt)
+    r = backwards_pos_enc(W, cfg.d_model, dtype=dt)
     mask = causal_window_mask(W, 0, 1, 1)
     mask = mask | pad_mask[:, None, None, :]
 
@@ -334,7 +334,7 @@ def decode_step(
         emb = emb + beat_position_emb(params, cfg, pos[:, None]).astype(dt)
     h = emb
     # distances: current token attends over [M cached ... self] → rel dist M..0
-    r = sinusoid_pos_enc(jnp.arange(M, -1, -1), cfg.d_model, dtype=dt)
+    r = backwards_pos_enc(M + 1, cfg.d_model, dtype=dt)
     slot = jnp.arange(M + 1)[None, None, None, :]
     # blocked stale slots per batch row; self (slot M) always visible
     mask = slot < (M - cache.valid.reshape(B, 1, 1, 1))

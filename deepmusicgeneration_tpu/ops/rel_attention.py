@@ -23,10 +23,9 @@ NEG_INF = -1e9  # mask fill; avoids NaNs from (-inf) - (-inf) in softmax
 def sinusoid_pos_enc(positions, d_model: int, dtype=jnp.float32) -> jnp.ndarray:
     """fastai PositionalEncoding: concat(sin(p·f), cos(p·f)), f = 10000^(-2i/d).
 
-    Positions are always trace-time constants (backwards ranges over static
-    sequence lengths), so the table is built on the host in float64 — fp32
-    ``pow`` discrepancies otherwise get amplified by large positions — and
-    embedded as a literal that XLA constant-folds.
+    Positions must be a host (numpy) array — they are always static backwards
+    ranges. The table is built in float64 (fp32 ``pow`` discrepancies get
+    amplified by large positions) and embedded as a literal XLA constant-folds.
     """
     import numpy as np
     pos = np.asarray(positions, dtype=np.float64)
@@ -34,6 +33,12 @@ def sinusoid_pos_enc(positions, d_model: int, dtype=jnp.float32) -> jnp.ndarray:
     inp = np.outer(pos, freq)
     table = np.concatenate([np.sin(inp), np.cos(inp)], axis=-1)
     return jnp.asarray(table.astype(np.float32)).astype(dtype)
+
+
+def backwards_pos_enc(seq_len: int, d_model: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Sinusoid table over positions [seq_len-1 .. 0] (the TXL convention)."""
+    import numpy as np
+    return sinusoid_pos_enc(np.arange(seq_len - 1, -1, -1), d_model, dtype)
 
 
 def rel_shift(x: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,96 @@
+import jax
+import numpy as np
+import pytest
+
+from deepmusicgeneration_tpu.codec import grammar as G
+from deepmusicgeneration_tpu.codec.index import npenc2idxenc, position_enc
+from deepmusicgeneration_tpu.decode.engine import GenerationEngine, SamplerSettings
+from deepmusicgeneration_tpu.models import txl
+from deepmusicgeneration_tpu.models.config import small_test_config
+from conftest import random_npenc
+
+
+@pytest.fixture(scope="module")
+def engine(vocab):
+    cfg = small_test_config()
+    params = txl.init_txl(jax.random.PRNGKey(0), cfg)
+    return GenerationEngine(params, cfg, vocab)
+
+
+@pytest.fixture(scope="module")
+def seed_idx(vocab):
+    rng = np.random.default_rng(0)
+    npenc = random_npenc(rng, n_groups=10)
+    idx = npenc2idxenc(npenc, vocab)[:-1]  # strip EOS like the app does
+    return idx
+
+
+def check_grammar(tokens, vocab, prev0, last_xxsep0=False):
+    """Host-side replay of the grammar state machine over emitted tokens."""
+    cls_table = G.prev_class_table(vocab)
+    allowed = G.allowed_table(vocab)
+    prev, flag = prev0, last_xxsep0
+    for t, tok in enumerate(tokens):
+        if tok == vocab.pad_idx:
+            break  # done-padding
+        flag = G.update_last_xxsep(prev, flag, vocab)
+        ok = allowed[cls_table[prev], int(flag)]
+        assert ok[tok], (
+            f"token {t}: {vocab.itos[tok]} not allowed after {vocab.itos[prev]} "
+            f"(flag={flag})")
+        prev = tok
+
+
+def test_generate_respects_grammar(engine, seed_idx, vocab):
+    out = engine.generate(seed_idx, n_words=64, temperatures=(2.0, 2.0, 2.0),
+                          top_k=0, top_p=0.0, seed=1)
+    assert len(out) > 0
+    check_grammar(out, vocab, prev0=int(seed_idx[-1]))
+
+
+def test_generate_deterministic_given_seed(engine, seed_idx):
+    a = engine.generate(seed_idx, n_words=32, seed=7)
+    b = engine.generate(seed_idx, n_words=32, seed=7)
+    np.testing.assert_array_equal(a, b)
+    c = engine.generate(seed_idx, n_words=32, seed=8)
+    assert not (len(a) == len(c) and np.array_equal(a, c))
+
+
+def test_greedy_is_rng_free(engine, seed_idx):
+    a = engine.generate(seed_idx, n_words=32, greedy=True, seed=1)
+    b = engine.generate(seed_idx, n_words=32, greedy=True, seed=999)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_allowed_ins_whitelist(engine, seed_idx, vocab):
+    out = engine.generate(seed_idx, n_words=96, allowed_ins=["Bass"],
+                          temperatures=(2.0, 2.0, 2.0), seed=3)
+    ilo, ihi = vocab.ins_range
+    ins_toks = out[(out >= ilo) & (out < ihi)]
+    assert len(ins_toks) > 0
+    assert (ins_toks == ilo + 2).all()  # Bass == i2
+
+
+def test_batch_generation(engine, seed_idx, vocab):
+    rng = np.random.default_rng(5)
+    other = npenc2idxenc(random_npenc(rng, n_groups=6), vocab)[:-1]
+    toks, lengths = engine.generate_batch([seed_idx, other], n_words=32, seed=2)
+    assert toks.shape == (2, 32)
+    assert (lengths > 0).all()
+    # batching must match single-row generation (same RNG stream per row is
+    # not guaranteed across batch sizes; only shape/validity checked here)
+    for i in range(2):
+        prev0 = int([seed_idx, other][i][-1])
+        check_grammar(toks[i][: lengths[i]], vocab, prev0=prev0)
+
+
+def test_positions_advance(engine, seed_idx, vocab):
+    out = engine.generate(seed_idx, n_words=128, temperatures=(2.0, 2.0, 2.0),
+                          top_k=0, top_p=0.0, seed=11)
+    # every sampled [sep, dur] pair advances the song position
+    full = np.concatenate([seed_idx, out])
+    pos = position_enc(full, vocab)
+    assert (np.diff(pos) >= 0).all()
+    sep_count = int((out == vocab.sep_idx).sum())
+    assert sep_count > 0
+    assert pos[-1] > position_enc(seed_idx, vocab)[-1]
