@@ -1,0 +1,130 @@
+"""Benchmark driver: Transformer-XL decode tokens/sec on the flagship model.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+Primary metric: decode tokens/sec/chip for the 41M genre model (8L/d512/12h,
+mem 512) generating 1024 tokens with the full sampling stack (grammar masks,
+3-way temperature, top-k/top-p) from a real `fur_elise.mid` prompt — i.e. the
+reference's `MusicLearner.predict` workload (deep_music_genre.py:1853-1972)
+as one compiled loop.
+
+``vs_baseline``: ratio against a single-threaded-ish CPU run of the same
+compiled engine (the reference publishes no numbers — BASELINE.md sets
+">=5x one TPU chip vs CPU" as the bar). The CPU figure is measured in a
+subprocess and cached in .bench_cpu_baseline.json keyed by config.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_cpu_baseline.json")
+
+N_WORDS = 1024
+CFG_KEY = "txl41m-mem512-n1024-v2"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_decode_bench(n_words: int, warmup_words: int = 32, batch: int = 1):
+    import jax
+    import numpy as np
+    from deepmusicgeneration_tpu.decode.engine import GenerationEngine
+    from deepmusicgeneration_tpu.models import txl
+    from deepmusicgeneration_tpu.models.config import btp_phase1_config
+    from deepmusicgeneration_tpu.codec.item import MusicItem
+    from deepmusicgeneration_tpu.vocab import MusicVocab
+
+    vocab = MusicVocab.create()
+    cfg = btp_phase1_config()
+    params = txl.init_txl(jax.random.PRNGKey(0), cfg)
+    engine = GenerationEngine(params, cfg, vocab)
+
+    seed_item = MusicItem.from_file("/root/reference/fur_elise.mid", vocab,
+                                    genre="electronic").trim_to_beat(32).remove_eos()
+    seed = seed_item.data
+
+    gen = lambda nw, s: engine.generate(
+        seed, n_words=nw, temperatures=(1.8, 1.8, 1.0), min_bars=1_000_000,
+        top_k=30, top_p=0.65, seed=s)
+
+    # warmup/compile for both shapes
+    t0 = time.time()
+    gen(warmup_words, 0)
+    gen(n_words, 0)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    out = gen(n_words, 1)
+    dt = time.time() - t0
+    tps = n_words / dt
+    log(f"decode: {n_words} tokens in {dt:.3f}s → {tps:.1f} tok/s "
+        f"(compile {compile_s:.1f}s, emitted {len(out)})")
+    return tps, dt
+
+
+def cpu_baseline() -> float:
+    if os.path.exists(CACHE_PATH):
+        try:
+            d = json.load(open(CACHE_PATH))
+            if d.get("key") == CFG_KEY:
+                log(f"cpu baseline (cached): {d['tps']:.2f} tok/s")
+                return d["tps"]
+        except Exception:
+            pass
+    code = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.path.insert(0, %r);"
+        "import bench; tps, _ = bench.run_decode_bench(128, 16);"
+        "print('CPU_TPS', tps)"
+    ) % os.path.dirname(os.path.abspath(__file__))
+    log("measuring CPU baseline (subprocess, 128 tokens)...")
+    try:
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                             text=True, timeout=1800)
+        for line in out.stdout.splitlines():
+            if line.startswith("CPU_TPS"):
+                tps = float(line.split()[1])
+                json.dump({"key": CFG_KEY, "tps": tps}, open(CACHE_PATH, "w"))
+                log(f"cpu baseline: {tps:.2f} tok/s")
+                return tps
+        log("cpu baseline failed:", out.stdout[-500:], out.stderr[-2000:])
+    except Exception as e:
+        log("cpu baseline error:", e)
+    return 0.0
+
+
+def main():
+    import jax
+    platform = jax.devices()[0].platform
+    log(f"backend: {platform} ({jax.devices()})")
+    tps, dt = run_decode_bench(N_WORDS)
+    base = cpu_baseline() if platform != "cpu" else tps
+    vs = tps / base if base > 0 else 0.0
+    result = {
+        "metric": "decode_tokens_per_sec_per_chip",
+        "value": round(tps, 2),
+        "unit": "tokens/sec",
+        "vs_baseline": round(vs, 2),
+        "detail": {
+            "model": "genre TXL 41M (8L d512 12h mem512)",
+            "n_words": N_WORDS,
+            "p50_latency_s_1024_tokens": round(dt, 3),
+            "cpu_baseline_tps": round(base, 2),
+            "backend": platform,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
