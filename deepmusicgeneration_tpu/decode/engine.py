@@ -46,6 +46,8 @@ class SamplerSettings:
     greedy: bool = False
     use_min_bars_ban: bool = True
     bar_stop: bool = True      # 80%-budget bar-boundary early stop
+    pos_stop: bool = False     # stop past a max position (predict_s2s)
+    eos_stop: bool = False     # stop on sampled EOS (predict_s2s)
 
 
 class DecodeTables(NamedTuple):
@@ -55,6 +57,7 @@ class DecodeTables(NamedTuple):
     temp_slot: jnp.ndarray    # (V,) int32
     sep_idx: int
     bos_idx: int
+    eos_idx: int
     ni_idx: int
     pad_idx: int
     dur_lo: int
@@ -67,6 +70,7 @@ def build_tables(vocab: MusicVocab, temp_mode: str = "genre") -> DecodeTables:
         temp_slot=jnp.asarray(G.temp_slot_table(vocab, temp_mode)),
         sep_idx=vocab.sep_idx,
         bos_idx=vocab.bos_idx,
+        eos_idx=vocab.eos_idx,
         ni_idx=vocab.ni_idx,
         pad_idx=vocab.pad_idx,
         dur_lo=vocab.dur_range[0],
@@ -94,6 +98,7 @@ def sample_next_token(
     rng: jax.Array,
     settings: SamplerSettings,
     step_frac: jnp.ndarray,       # scalar fp32: i / n_words
+    max_pos: Optional[jnp.ndarray] = None,  # (B,) int32 (pos_stop)
 ) -> Tuple[jnp.ndarray, SampleState]:
     """One full sampling step given model logits. Pure; called inside scan."""
     B, V = logits.shape
@@ -137,17 +142,24 @@ def sample_next_token(
     duration = idx - tables.dur_lo
     last_pos = jnp.where(was_sep & ~st.done, st.last_pos + duration, st.last_pos)
 
-    # stopping: bar boundary after 80% of budget, or sampled BOS
+    # stopping: bar boundary after 80% of budget, sampled BOS/EOS, or past
+    # the counterpart track's length (predict_s2s, remix:2680-2685)
     abs_bar = last_pos // (SAMPLE_FREQ * 4)
     stop_bar = was_sep & (step_frac > 0.80) & (abs_bar % 4 == 0) if settings.bar_stop else jnp.zeros_like(was_sep)
     stop_bos = idx == tables.bos_idx
+    if settings.eos_stop:
+        stop_bos = stop_bos | (idx == tables.eos_idx)
     done = st.done | stop_bar | stop_bos
+    if settings.pos_stop and max_pos is not None:
+        done = done | (was_sep & (last_pos > max_pos))
 
-    # once done, emit pad and freeze state
-    idx = jnp.where(st.done, tables.pad_idx, idx)
-    n_emitted = st.n_emitted + (~st.done).astype(jnp.int32)
+    # the token that *triggers* a stop is dropped, exactly like the
+    # reference's `break` before `new_idx.append(idx)`; afterwards pads flow
+    emitted = ~done
+    idx = jnp.where(emitted, idx, tables.pad_idx)
+    n_emitted = st.n_emitted + emitted.astype(jnp.int32)
     new_st = SampleState(
-        prev_tok=jnp.where(st.done, st.prev_tok, idx),
+        prev_tok=jnp.where(emitted, idx, st.prev_tok),
         last_pos=last_pos,
         start_pos=st.start_pos,
         last_xxsep=jnp.where(st.done, st.last_xxsep, last_xxsep),

@@ -1,0 +1,336 @@
+"""Compiled inference engines for the multitask model.
+
+TPU-native counterparts of MultitaskLearner.predict_nw / predict_mask /
+predict_s2s (deep_music_remix.py:2491-2698), each as a single jitted program:
+
+* **predict_nw** — causal continuation through the decoder's attention-only
+  path, sharing the sampler scan of :mod:`.engine`.
+* **predict_mask** — BERT infill. The reference re-encodes the whole sequence
+  per masked position from the host; here the loop over masked positions is a
+  ``lax.scan`` whose body runs the full bidirectional encoder on device —
+  same sequential left-to-right contract (later masks see earlier fills), no
+  host round trips.
+* **predict_s2s** — encode the source track once, then incrementally decode
+  the target with a self-attention KV cache + cross-attention, stopping one
+  bar past the source's length.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec.grammar import allowed_ins_mask
+from ..models import multitask as mt
+from ..models.config import MultitaskConfig
+from ..ops.sampling import FILTER_VALUE, num_choices, sample_categorical, top_k_top_p
+from ..vocab import ACCEP_INS, SAMPLE_FREQ, MusicVocab
+from .engine import DecodeTables, SampleState, SamplerSettings, build_tables, sample_next_token
+
+
+def _bucket(n: int, buckets=(64, 128, 256, 512, 1024)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+# ---------------------------------------------------------------------------
+# predict_mask
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_mask_slots", "top_k", "greedy"))
+def _predict_mask_compiled(
+    params: Dict,
+    cfg: MultitaskConfig,
+    x: jnp.ndarray,            # (B, W) tokens with xxmask holes
+    pos: jnp.ndarray,          # (B, W)
+    pad_cols: jnp.ndarray,     # (B, W) bool — right padding
+    mask_positions: jnp.ndarray,   # (B, n_mask_slots) int32, -1 = unused slot
+    tables: DecodeTables,
+    temperatures: jnp.ndarray,     # (3,)
+    top_p: jnp.ndarray,
+    banned: jnp.ndarray,           # (V,) bool — special_idxs ban overlay
+    rng: jax.Array,
+    n_mask_slots: int,
+    top_k: int,
+    greedy: bool,
+):
+    B, W = x.shape
+
+    def body(carry, j):
+        x, repeat_count, rng = carry
+        midx = mask_positions[:, j]                    # (B,)
+        active = midx >= 0
+        safe_midx = jnp.maximum(midx, 0)
+        # full bidirectional encode with right-pad columns blocked (the
+        # reference runs on the exact-length sequence; padding must not leak)
+        h = mt.encode(params, cfg, x, pos, pad_cols=pad_cols)
+        logits_all = mt.head(params, cfg, h)
+        logits = jnp.take_along_axis(
+            logits_all, safe_midx[:, None, None], axis=1)[:, 0]   # (B, V)
+        prev = jnp.take_along_axis(x, jnp.maximum(safe_midx - 1, 0)[:, None], axis=1)[:, 0]
+
+        slot = tables.temp_slot[prev]
+        temperature = temperatures[slot]
+        penalty = jnp.maximum(0.0, jnp.log((repeat_count + 1) / 4.0) / 5.0) * temperature
+        logits = logits / (temperature + penalty)[:, None]
+        # ban the special tokens (remix:2590-2598), then the grammar mask
+        logits = jnp.where(banned[None, :], FILTER_VALUE, logits)
+        cls = tables.prev_class[prev]
+        ok = tables.allowed[cls, jnp.zeros_like(cls)]  # last_xxsep=False here
+        logits = jnp.where(ok, logits, FILTER_VALUE)
+        logits = top_k_top_p(logits, top_k, top_p)
+        rng, sub = jax.random.split(rng)
+        if greedy:
+            idx = jnp.argmax(logits, axis=-1).astype(x.dtype)
+        else:
+            idx = sample_categorical(sub, logits).astype(x.dtype)
+        nc = num_choices(logits)
+        repeat_count = jnp.where(active,
+                                 jnp.where(nc <= 2, repeat_count + 1, repeat_count // 2),
+                                 repeat_count)
+        # write the sample back in place; later masks condition on it
+        cur = jnp.take_along_axis(x, safe_midx[:, None], axis=1)[:, 0]
+        new_val = jnp.where(active, idx, cur)
+        x = x.at[jnp.arange(B), safe_midx].set(new_val)
+        return (x, repeat_count, rng), None
+
+    (x, _, _), _ = jax.lax.scan(
+        body, (x, jnp.zeros((B,), jnp.int32), rng), jnp.arange(n_mask_slots))
+    return x
+
+
+class MaskEngine:
+    """predict_mask host wrapper (remix:2563-2613 contract)."""
+
+    def __init__(self, params: Dict, cfg: MultitaskConfig, vocab: MusicVocab):
+        self.params, self.cfg, self.vocab = params, cfg, vocab
+        self.tables = build_tables(vocab, "twotemp")
+        # special tokens never produced by infill: bos, sep, ni, eos, genres
+        banned = np.zeros(len(vocab), bool)
+        for t in vocab.special_idxs:
+            if t not in (vocab.pad_idx, vocab.mask_idx):
+                banned[t] = True
+        banned[vocab.pad_idx] = True
+        banned[vocab.mask_idx] = True
+        self.banned = jnp.asarray(banned)
+
+    def predict_mask(self, masked_idxenc: np.ndarray,
+                     position: Optional[np.ndarray] = None,
+                     temperatures=(1.0, 1.0), top_k: int = 20, top_p: float = 0.8,
+                     greedy: bool = False, seed: int = 0) -> np.ndarray:
+        from ..codec.index import position_enc
+
+        x = np.asarray(masked_idxenc, dtype=np.int32)
+        pos = (np.asarray(position, np.int32) if position is not None
+               else position_enc(x, self.vocab).astype(np.int32))
+        W = _bucket(len(x))
+        xb = np.full((1, W), self.vocab.pad_idx, np.int32)
+        pb = np.zeros((1, W), np.int32)
+        padc = np.ones((1, W), bool)
+        xb[0, :len(x)] = x
+        pb[0, :len(x)] = pos[:len(x)]
+        padc[0, :len(x)] = False
+        mask_pos = np.nonzero(x == self.vocab.mask_idx)[0]
+        n_slots = _bucket(max(len(mask_pos), 1), buckets=(16, 32, 64, 128, 256, 512))
+        mp = np.full((1, n_slots), -1, np.int32)
+        mp[0, :len(mask_pos)] = mask_pos
+        temps = np.asarray(
+            (temperatures[0], temperatures[1], temperatures[1])
+            if len(temperatures) == 2 else temperatures, np.float32)
+        out = _predict_mask_compiled(
+            self.params, self.cfg, jnp.asarray(xb), jnp.asarray(pb),
+            jnp.asarray(padc), jnp.asarray(mp), self.tables,
+            jnp.asarray(temps), jnp.asarray(np.float32(top_p)), self.banned,
+            jax.random.PRNGKey(seed), n_slots, top_k, greedy)
+        return np.asarray(out)[0, :len(x)]
+
+
+# ---------------------------------------------------------------------------
+# predict_s2s
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "settings", "mem_len"))
+def _predict_s2s_compiled(
+    params: Dict,
+    cfg: MultitaskConfig,
+    inp: jnp.ndarray, inp_pos: jnp.ndarray, inp_pad: jnp.ndarray,   # (B, We)
+    targ: jnp.ndarray, targ_pos: jnp.ndarray, targ_pad: jnp.ndarray,  # (B, Wd) left-padded
+    start_last_pos: jnp.ndarray,   # (B,)
+    max_pos: jnp.ndarray,          # (B,)
+    tables: DecodeTables,
+    temperatures: jnp.ndarray, top_p: jnp.ndarray,
+    allowed_ins_overlay: jnp.ndarray,
+    rng: jax.Array,
+    settings: SamplerSettings,
+    mem_len: int,
+):
+    B = inp.shape[0]
+    enc_out = mt.encode(params, cfg, inp, inp_pos, pad_cols=inp_pad)
+    logits, cache = mt.decoder_prefill(params, cfg, targ, targ_pos, targ_pad,
+                                       enc_out, enc_pad=inp_pad, mem_len=mem_len)
+    st0 = SampleState(
+        prev_tok=targ[:, -1].astype(jnp.int32),
+        last_pos=start_last_pos.astype(jnp.int32),
+        start_pos=start_last_pos.astype(jnp.int32),
+        last_xxsep=jnp.zeros((B,), bool),
+        repeat_count=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), bool),
+        n_emitted=jnp.zeros((B,), jnp.int32),
+    )
+
+    def step(carry, i):
+        cache, st, logits, rng = carry
+        rng, sub = jax.random.split(rng)
+        idx, st = sample_next_token(
+            logits, st, tables, temperatures, top_p,
+            jnp.asarray(0, jnp.int32), allowed_ins_overlay, sub, settings,
+            i.astype(jnp.float32) / settings.n_words, max_pos=max_pos)
+        logits, cache = mt.decoder_step(params, cfg, idx, st.last_pos, cache,
+                                        enc_out, enc_pad=inp_pad)
+        return (cache, st, logits, rng), idx
+
+    (_, st, _, _), toks = jax.lax.scan(
+        step, (cache, st0, logits, rng), jnp.arange(settings.n_words))
+    return toks.T, st.n_emitted
+
+
+class S2SEngine:
+    """predict_s2s host wrapper (remix:2615-2698 contract)."""
+
+    def __init__(self, params: Dict, cfg: MultitaskConfig, vocab: MusicVocab):
+        self.params, self.cfg, self.vocab = params, cfg, vocab
+        self.tables = build_tables(vocab, "twotemp")
+
+    def predict_s2s(self, input_idxenc: np.ndarray, target_idxenc: np.ndarray,
+                    target_ins: Optional[str] = None,
+                    n_words: int = 256, temperatures=(1.0, 1.0),
+                    top_k: int = 30, top_p: float = 0.8,
+                    greedy: bool = False, seed: int = 0) -> np.ndarray:
+        from ..codec.index import position_enc
+
+        v = self.vocab
+        inp = np.asarray(input_idxenc, np.int32)
+        targ = np.asarray(target_idxenc, np.int32)
+        inp_pos = position_enc(inp, v).astype(np.int32)
+        targ_pos = position_enc(targ, v).astype(np.int32)
+
+        We = _bucket(len(inp))
+        ib = np.full((1, We), v.pad_idx, np.int32)
+        ipb = np.zeros((1, We), np.int32)
+        ipad = np.ones((1, We), bool)
+        ib[0, :len(inp)] = inp
+        ipb[0, :len(inp)] = inp_pos
+        ipad[0, :len(inp)] = False
+
+        Wd = min(_bucket(len(targ)), max(self.cfg.ctx_len, self.cfg.mem_len))
+        tb = np.full((1, Wd), v.pad_idx, np.int32)
+        tpb = np.zeros((1, Wd), np.int32)
+        tpad = np.ones((1, Wd), bool)
+        t = targ[-Wd:]
+        tp = targ_pos[-Wd:]
+        tb[0, Wd - len(t):] = t
+        tpb[0, Wd - len(t):] = tp
+        tpad[0, Wd - len(t):] = False
+
+        start_last_pos = np.asarray([targ_pos[-1] if len(targ_pos) else 0], np.int32)
+        # only predict until both tracks cover the same span + 1 bar
+        max_pos = np.asarray([int(inp_pos[-1]) + SAMPLE_FREQ * 4], np.int32)
+        temps = np.asarray((temperatures[0], temperatures[1], temperatures[1]),
+                           np.float32)
+        overlay = allowed_ins_mask(v, [target_ins] if target_ins else None)
+        settings = SamplerSettings(n_words=n_words, top_k=top_k, temp_mode="twotemp",
+                                   greedy=greedy, use_min_bars_ban=False,
+                                   bar_stop=False, pos_stop=True, eos_stop=True)
+        toks, lengths = _predict_s2s_compiled(
+            self.params, self.cfg,
+            jnp.asarray(ib), jnp.asarray(ipb), jnp.asarray(ipad),
+            jnp.asarray(tb), jnp.asarray(tpb), jnp.asarray(tpad),
+            jnp.asarray(start_last_pos), jnp.asarray(max_pos),
+            self.tables, jnp.asarray(temps), jnp.asarray(np.float32(top_p)),
+            jnp.asarray(overlay), jax.random.PRNGKey(seed), settings,
+            self.cfg.mem_len)
+        new = np.asarray(toks)[0, : int(np.asarray(lengths)[0])]
+        return np.concatenate([targ, new])
+
+
+# ---------------------------------------------------------------------------
+# predict_nw
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "settings", "mem_len"))
+def _predict_nw_compiled(
+    params: Dict, cfg: MultitaskConfig,
+    x: jnp.ndarray, pos: jnp.ndarray, pad: jnp.ndarray,   # (B, W) left-padded
+    start_last_pos: jnp.ndarray,
+    tables: DecodeTables,
+    temperatures: jnp.ndarray, top_p: jnp.ndarray, min_bars: jnp.ndarray,
+    rng: jax.Array, settings: SamplerSettings, mem_len: int,
+):
+    B = x.shape[0]
+    logits, cache = mt.lm_prefill(params, cfg, x, pos, pad, mem_len=mem_len)
+    st0 = SampleState(
+        prev_tok=x[:, -1].astype(jnp.int32),
+        last_pos=start_last_pos.astype(jnp.int32),
+        start_pos=start_last_pos.astype(jnp.int32),
+        last_xxsep=jnp.zeros((B,), bool),
+        repeat_count=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), bool),
+        n_emitted=jnp.zeros((B,), jnp.int32),
+    )
+    overlay = jnp.ones((logits.shape[-1],), bool)
+
+    def step(carry, i):
+        cache, st, logits, rng = carry
+        rng, sub = jax.random.split(rng)
+        idx, st = sample_next_token(logits, st, tables, temperatures, top_p,
+                                    min_bars, overlay, sub, settings,
+                                    i.astype(jnp.float32) / settings.n_words)
+        logits, cache = mt.lm_step(params, cfg, idx, st.last_pos, cache)
+        return (cache, st, logits, rng), idx
+
+    (_, st, _, _), toks = jax.lax.scan(
+        step, (cache, st0, logits, rng), jnp.arange(settings.n_words))
+    return toks.T, st.n_emitted
+
+
+class NWEngine:
+    """predict_nw host wrapper (remix:2491-2561 contract)."""
+
+    def __init__(self, params: Dict, cfg: MultitaskConfig, vocab: MusicVocab):
+        self.params, self.cfg, self.vocab = params, cfg, vocab
+        self.tables = build_tables(vocab, "twotemp")
+
+    def predict_nw(self, idxenc: np.ndarray, n_words: int = 128,
+                   temperatures=(1.0, 1.0), min_bars: int = 4,
+                   top_k: int = 30, top_p: float = 0.6,
+                   greedy: bool = False, seed: int = 0) -> np.ndarray:
+        from ..codec.index import position_enc
+
+        v = self.vocab
+        x = np.asarray(idxenc, np.int32)
+        pos = position_enc(x, v).astype(np.int32)
+        W = min(_bucket(len(x)), max(self.cfg.ctx_len, self.cfg.mem_len))
+        xb = np.full((1, W), v.pad_idx, np.int32)
+        pb = np.zeros((1, W), np.int32)
+        pad = np.ones((1, W), bool)
+        xs, ps = x[-W:], pos[-W:]
+        xb[0, W - len(xs):] = xs
+        pb[0, W - len(xs):] = ps
+        pad[0, W - len(xs):] = False
+        temps = np.asarray((temperatures[0], temperatures[1], temperatures[1]),
+                           np.float32)
+        settings = SamplerSettings(n_words=n_words, top_k=top_k,
+                                   temp_mode="twotemp", greedy=greedy)
+        toks, lengths = _predict_nw_compiled(
+            self.params, self.cfg, jnp.asarray(xb), jnp.asarray(pb),
+            jnp.asarray(pad), jnp.asarray([pos[-1] if len(pos) else 0]).astype(jnp.int32),
+            self.tables, jnp.asarray(temps), jnp.asarray(np.float32(top_p)),
+            jnp.asarray(np.int32(min_bars)), jax.random.PRNGKey(seed),
+            settings, self.cfg.mem_len)
+        return np.asarray(toks)[0, : int(np.asarray(lengths)[0])]

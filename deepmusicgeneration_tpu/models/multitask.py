@@ -1,0 +1,446 @@
+"""MultiTransformer: multitask encoder-decoder (BERT / LM / seq2seq).
+
+Functional JAX port of the reference architecture
+(deep_music_remix.py:1851-2104), preserving its structural quirks exactly:
+
+* attention is ``MemMultiHeadRelativeAttentionKV``-style: separate q/k/v
+  projections (so cross-attention works), **no output projection** (d_model ==
+  n_heads·d_head), post-norm ``ln(q + attn)``,
+* ``u``/``v`` relative biases are shared per stack (encoder/decoder),
+* a block runs self-attention, and ONLY when cross-attending to encoder
+  output does it run cross-attention + feed-forward — the msk/lm paths are
+  attention-only stacks (MTEncoderBlock.forward, remix:2010-2014),
+* the relative sinusoid table spans ``x_len + mem_len`` positions and is
+  sliced to the actual key length inside attention,
+* cross-attention applies the tril mask inside the line-shift
+  (``r_mask=True``), self-attention does not,
+* TransformerEmbedding: token + beat + bar embeddings, all with padding-idx
+  semantics (row contributes zero),
+* head: tied linear + bias.
+
+Task routing (MultiTransformer.forward, remix:1874-1897):
+  'msk' → encoder→head (bidirectional), 'lm' → decoder→head (causal),
+  's2f'/'f2s' → encoder → decoder-with-cross → head.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.rel_attention import NEG_INF, backwards_pos_enc, rel_attention, rel_shift
+from .config import MultitaskConfig
+
+
+def _init(rng, shape, std=0.02):
+    return std * jax.random.normal(rng, shape, dtype=jnp.float32)
+
+
+def _init_attn(keys, cfg: MultitaskConfig) -> Dict:
+    D, H, Dh = cfg.d_model, cfg.n_heads, cfg.d_head
+    b = cfg.bias
+    return {
+        "q_w": _init(next(keys), (D, H * Dh)),
+        "k_w": _init(next(keys), (D, H * Dh)),
+        "v_w": _init(next(keys), (D, H * Dh)),
+        "q_b": jnp.zeros((H * Dh,)) if b else None,
+        "k_b": jnp.zeros((H * Dh,)) if b else None,
+        "v_b": jnp.zeros((H * Dh,)) if b else None,
+        "r_w": _init(next(keys), (D, H * Dh)),
+        "r_b": jnp.zeros((H * Dh,)) if b else None,
+        "ln_g": 1.0 + _init(next(keys), (D,)),
+        "ln_b": jnp.zeros((D,)),
+    }
+
+
+def _init_block(keys, cfg: MultitaskConfig) -> Dict:
+    D = cfg.d_model
+    return {
+        "mha1": _init_attn(keys, cfg),
+        "mha2": _init_attn(keys, cfg),
+        "ff1_w": _init(next(keys), (D, cfg.d_inner)),
+        "ff1_b": jnp.zeros((cfg.d_inner,)),
+        "ff2_w": _init(next(keys), (cfg.d_inner, D)),
+        "ff2_b": jnp.zeros((D,)),
+        "ff_ln_g": 1.0 + _init(next(keys), (D,)),
+        "ff_ln_b": jnp.zeros((D,)),
+    }
+
+
+def init_multitask(rng: jax.Array, cfg: MultitaskConfig) -> Dict:
+    n_keys = 64 * (cfg.enc_layers + cfg.dec_layers) + 16
+    keys = iter(jax.random.split(rng, n_keys))
+    D = cfg.d_model
+    params = {
+        "embed": _init(next(keys), (cfg.vocab_size, D)),
+        "beat_enc": _init(next(keys), (cfg.beat_len, D)),
+        "bar_enc": _init(next(keys), (cfg.max_bar_len, D)),
+        "encoder": {
+            "u": _init(next(keys), (cfg.n_heads, 1, cfg.d_head)),
+            "v": _init(next(keys), (cfg.n_heads, 1, cfg.d_head)),
+            "layers": [_init_block(keys, cfg) for _ in range(cfg.enc_layers)],
+        },
+        "decoder": {
+            "u": _init(next(keys), (cfg.n_heads, 1, cfg.d_head)),
+            "v": _init(next(keys), (cfg.n_heads, 1, cfg.d_head)),
+            "layers": [_init_block(keys, cfg) for _ in range(cfg.dec_layers)],
+        },
+        "head_b": jnp.zeros((cfg.vocab_size,)) if cfg.out_bias else None,
+    }
+    # padding-idx semantics: the pad-token embedding row is zero
+    params["embed"] = params["embed"].at[1].set(0.0)  # pad_idx == 1 both layouts
+    return params
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def _layer_norm(x, g, b, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps) * g + b).astype(x.dtype)
+
+
+def _act(x, kind):
+    return jax.nn.gelu(x, approximate=False) if kind == "gelu" else jax.nn.relu(x)
+
+
+def embed_tokens(params, cfg: MultitaskConfig, x, pos, pad_idx: int = 1):
+    """TransformerEmbedding (remix:1910-1931)."""
+    dt = cfg.act_dtype
+    emb = params["embed"][x].astype(dt)
+    emb = jnp.where((x == pad_idx)[..., None], 0.0, emb)
+    if pos is not None:
+        beat = pos % cfg.beat_len
+        bar = jnp.minimum(pos // cfg.beat_len % cfg.max_bar_len, cfg.max_bar_len - 1)
+        be = params["beat_enc"][beat].astype(dt)
+        ba = params["bar_enc"][bar].astype(dt)
+        be = jnp.where((beat == 0)[..., None], 0.0, be)
+        ba = jnp.where((bar == 0)[..., None], 0.0, ba)
+        emb = emb + be + ba
+    return emb
+
+
+def _proj(h, w, b, H, Dh):
+    y = h @ w.astype(h.dtype)
+    if b is not None:
+        y = y + b.astype(h.dtype)
+    B, L, _ = y.shape
+    return y.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+
+
+def _attn_apply(ap, cfg: MultitaskConfig, q_in, kv_in, r, u, v, mask, r_mask: bool):
+    """ln(q + rel_attention(...)) with NO output projection (remix:2025-2104)."""
+    H, Dh = cfg.n_heads, cfg.d_head
+    B, Lq, D = q_in.shape
+    K = kv_in.shape[1]
+    q = _proj(q_in, ap["q_w"], ap["q_b"], H, Dh)
+    k = _proj(kv_in, ap["k_w"], ap["k_b"], H, Dh)
+    vv = _proj(kv_in, ap["v_w"], ap["v_b"], H, Dh)
+    # r table sliced to the key length (reference: r[-seq_len:])
+    r_sl = r[-K:]
+    wkr = r_sl @ ap["r_w"].astype(r_sl.dtype)
+    if ap["r_b"] is not None:
+        wkr = wkr + ap["r_b"].astype(wkr.dtype)
+    wkr = wkr.reshape(K, H, Dh).transpose(1, 0, 2)
+
+    acc = jnp.float32
+    ac = jnp.einsum("bhqd,bhkd->bhqk", q + u, k, preferred_element_type=acc)
+    bd = jnp.einsum("bhqd,hkd->bhqk", q + v, wkr, preferred_element_type=acc)
+    bd = rel_shift(bd)
+    if r_mask:
+        # _line_shift(mask=True): zero the strictly-upper band (tril(p-n))
+        tril = jnp.tril(jnp.ones((Lq, K), acc), K - Lq)
+        bd = bd * tril
+    score = ac + bd
+    if cfg.scale:
+        score = score * (1.0 / jnp.sqrt(jnp.asarray(Dh, acc)))
+    if mask is not None:
+        score = jnp.where(mask[..., -K:], NEG_INF, score)
+    prob = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(q_in.dtype)
+    attn = jnp.einsum("bhqk,bhkd->bhqd", prob, vv, preferred_element_type=acc)
+    attn = attn.astype(q_in.dtype).transpose(0, 2, 1, 3).reshape(B, Lq, H * Dh)
+    return _layer_norm(q_in + attn, ap["ln_g"], ap["ln_b"])
+
+
+def _ff(bp, cfg: MultitaskConfig, h):
+    y = _act(h @ bp["ff1_w"].astype(h.dtype) + bp["ff1_b"].astype(h.dtype), cfg.act)
+    y = y @ bp["ff2_w"].astype(y.dtype) + bp["ff2_b"].astype(y.dtype)
+    return _layer_norm(h + y, bp["ff_ln_g"], bp["ff_ln_b"])
+
+
+def _causal_mask(L: int) -> jnp.ndarray:
+    m = jnp.triu(jnp.ones((L, L), bool), k=1)
+    m = m.at[:, 0].set(False)
+    return m[None, None]
+
+
+def stack_forward(
+    stack: Dict,
+    cfg: MultitaskConfig,
+    h: jnp.ndarray,            # (B, L, D) embedded input
+    is_decoder: bool,
+    enc_out: Optional[jnp.ndarray] = None,   # (B, Le, D) for cross-attention
+    self_mask: Optional[jnp.ndarray] = None,
+    pad_cols: Optional[jnp.ndarray] = None,  # (B, L) True where padded
+) -> jnp.ndarray:
+    """MTEncoder.forward (remix:1985-2003): all blocks share u/v and one r
+    table over max(L, Le) + mem_len positions."""
+    B, L, D = h.shape
+    dt = h.dtype
+    r_len = max(L, enc_out.shape[1] if enc_out is not None else 0) + cfg.mem_len
+    r = backwards_pos_enc(r_len, D, dtype=dt)
+    u, v = stack["u"].astype(dt), stack["v"].astype(dt)
+
+    if self_mask is None:
+        self_mask = _causal_mask(L) if is_decoder else None
+    if pad_cols is not None:
+        pc = pad_cols[:, None, None, :]
+        self_mask = pc if self_mask is None else (self_mask | pc)
+
+    for bp in stack["layers"]:
+        h = _attn_apply(bp["mha1"], cfg, h, h, r, u, v, self_mask, r_mask=False)
+        if enc_out is not None:
+            h = _attn_apply(bp["mha2"], cfg, h, enc_out, r, u, v, None, r_mask=True)
+            h = _ff(bp, cfg, h)
+        # reference quirk: no cross input → attention-only block (no FFN)
+    return h
+
+
+def head(params, cfg: MultitaskConfig, h) -> jnp.ndarray:
+    logits = h.astype(jnp.float32) @ params["embed"].T.astype(jnp.float32)
+    if params.get("head_b") is not None:
+        logits = logits + params["head_b"]
+    return logits
+
+
+def forward(
+    params: Dict,
+    cfg: MultitaskConfig,
+    inp: Dict[str, Dict[str, jnp.ndarray]],
+    pad_idx: int = 1,
+) -> Dict[str, jnp.ndarray]:
+    """Route task dict → logits dict (MultiTransformer.forward)."""
+    out = {}
+    if "msk" in inp and inp["msk"] is not None:
+        d = inp["msk"]
+        h = embed_tokens(params, cfg, d["x"], d.get("pos"), pad_idx)
+        h = stack_forward(params["encoder"], cfg, h, is_decoder=False)
+        out["msk"] = head(params, cfg, h)
+    if "lm" in inp and inp["lm"] is not None:
+        d = inp["lm"]
+        h = embed_tokens(params, cfg, d["x"], d.get("pos"), pad_idx)
+        h = stack_forward(params["decoder"], cfg, h, is_decoder=True)
+        out["lm"] = head(params, cfg, h)
+    for key in ("s2f", "f2s", "c2m", "m2c"):
+        if key in inp and inp[key] is not None:
+            d = inp[key]
+            eh = embed_tokens(params, cfg, d["enc"], d.get("enc_pos"), pad_idx)
+            eh = stack_forward(params["encoder"], cfg, eh, is_decoder=False,
+                               pad_cols=d.get("enc_pad"))
+            dh = embed_tokens(params, cfg, d["dec"], d.get("dec_pos"), pad_idx)
+            dh = stack_forward(params["decoder"], cfg, dh, is_decoder=True,
+                               enc_out=eh, pad_cols=d.get("dec_pad"))
+            out[key] = head(params, cfg, dh)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental s2s decoding (KV cache on decoder self-attention)
+# ---------------------------------------------------------------------------
+
+class DecKVCache(NamedTuple):
+    k: jnp.ndarray      # (dec_layers, B, M, H, Dh)
+    v: jnp.ndarray
+    valid: jnp.ndarray  # (B,) int32
+
+
+def init_dec_cache(cfg: MultitaskConfig, batch: int, mem_len: Optional[int] = None) -> DecKVCache:
+    M = cfg.mem_len if mem_len is None else mem_len
+    shape = (cfg.dec_layers, batch, M, cfg.n_heads, cfg.d_head)
+    return DecKVCache(jnp.zeros(shape, cfg.act_dtype), jnp.zeros(shape, cfg.act_dtype),
+                      jnp.zeros((batch,), jnp.int32))
+
+
+def encode(params, cfg: MultitaskConfig, x, pos, pad_cols=None, pad_idx: int = 1):
+    h = embed_tokens(params, cfg, x, pos, pad_idx)
+    return stack_forward(params["encoder"], cfg, h, is_decoder=False,
+                         pad_cols=pad_cols)
+
+
+def decoder_prefill(
+    params, cfg: MultitaskConfig,
+    x, pos,                      # (B, W) LEFT-padded target prefix
+    pad_mask,                    # (B, W) True = pad
+    enc_out,                     # (B, Le, D)
+    enc_pad=None,
+    mem_len: Optional[int] = None,
+    pad_idx: int = 1,
+) -> Tuple[jnp.ndarray, DecKVCache]:
+    """Run the decoder over the target prefix, building the self-attn cache.
+
+    The cache stores mha1 K/V of each layer's *input* sequence — identical to
+    the reference's ``mem_k``/``mem_v`` raw-input memory after projection.
+    """
+    B, W = x.shape
+    dt = cfg.act_dtype
+    M = cfg.mem_len if mem_len is None else mem_len
+    H, Dh = cfg.n_heads, cfg.d_head
+    h = embed_tokens(params, cfg, x, pos, pad_idx)
+    Le = enc_out.shape[1]
+    r = backwards_pos_enc(max(W, Le) + cfg.mem_len, cfg.d_model, dtype=dt)
+    u, v = params["decoder"]["u"].astype(dt), params["decoder"]["v"].astype(dt)
+    mask = _causal_mask(W) | pad_mask[:, None, None, :]
+    cross_mask = enc_pad[:, None, None, :] if enc_pad is not None else None
+
+    ks, vs = [], []
+    for bp in params["decoder"]["layers"]:
+        k = _proj(h, bp["mha1"]["k_w"], bp["mha1"]["k_b"], H, Dh).transpose(0, 2, 1, 3)
+        vv = _proj(h, bp["mha1"]["v_w"], bp["mha1"]["v_b"], H, Dh).transpose(0, 2, 1, 3)
+        ks.append(k[:, -M:])
+        vs.append(vv[:, -M:])
+        h = _attn_apply(bp["mha1"], cfg, h, h, r, u, v, mask, r_mask=False)
+        h = _attn_apply(bp["mha2"], cfg, h, enc_out, r, u, v, cross_mask, r_mask=True)
+        h = _ff(bp, cfg, h)
+
+    logits = head(params, cfg, h[:, -1:])[:, 0]
+    n_valid = jnp.minimum((~pad_mask).sum(axis=1).astype(jnp.int32), M)
+    k_st, v_st = jnp.stack(ks), jnp.stack(vs)
+    if W < M:
+        padw = [(0, 0), (0, 0), (M - W, 0), (0, 0), (0, 0)]
+        k_st, v_st = jnp.pad(k_st, padw), jnp.pad(v_st, padw)
+    return logits, DecKVCache(k_st, v_st, n_valid)
+
+
+def decoder_step(
+    params, cfg: MultitaskConfig,
+    tok, pos,                    # (B,), (B,)
+    cache: DecKVCache,
+    enc_out,                     # (B, Le, D)
+    enc_pad=None,
+    pad_idx: int = 1,
+) -> Tuple[jnp.ndarray, DecKVCache]:
+    """One incremental decode step (predict_s2s with use_memory=True)."""
+    B = tok.shape[0]
+    dt = cfg.act_dtype
+    H, Dh = cfg.n_heads, cfg.d_head
+    M = cache.k.shape[2]
+    h = embed_tokens(params, cfg, tok[:, None], pos[:, None], pad_idx)
+    Le = enc_out.shape[1]
+    r = backwards_pos_enc(max(M + 1, Le), cfg.d_model, dtype=dt)
+    u, v = params["decoder"]["u"].astype(dt), params["decoder"]["v"].astype(dt)
+    slot = jnp.arange(M + 1)[None, None, None, :]
+    self_mask = slot < (M - cache.valid.reshape(B, 1, 1, 1))
+    cross_mask = enc_pad[:, None, None, :] if enc_pad is not None else None
+
+    new_k, new_v = [], []
+    for i, bp in enumerate(params["decoder"]["layers"]):
+        ap = bp["mha1"]
+        k1 = _proj(h, ap["k_w"], ap["k_b"], H, Dh).transpose(0, 2, 1, 3)  # (B,1,H,Dh)
+        v1 = _proj(h, ap["v_w"], ap["v_b"], H, Dh).transpose(0, 2, 1, 3)
+        k_full = jnp.concatenate([cache.k[i].astype(dt), k1], axis=1).transpose(0, 2, 1, 3)
+        v_full = jnp.concatenate([cache.v[i].astype(dt), v1], axis=1).transpose(0, 2, 1, 3)
+        q = _proj(h, ap["q_w"], ap["q_b"], H, Dh)
+        r_sl = r[-(M + 1):]
+        wkr = r_sl @ ap["r_w"].astype(dt)
+        if ap["r_b"] is not None:
+            wkr = wkr + ap["r_b"].astype(dt)
+        wkr = wkr.reshape(M + 1, H, Dh).transpose(1, 0, 2)
+        acc = jnp.float32
+        ac = jnp.einsum("bhqd,bhkd->bhqk", q + u, k_full, preferred_element_type=acc)
+        bd = jnp.einsum("bhqd,hkd->bhqk", q + v, wkr, preferred_element_type=acc)
+        score = ac + bd
+        if cfg.scale:
+            score = score * (1.0 / jnp.sqrt(jnp.asarray(Dh, acc)))
+        score = jnp.where(self_mask, NEG_INF, score)
+        prob = jax.nn.softmax(score.astype(jnp.float32), -1).astype(dt)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", prob, v_full, preferred_element_type=acc)
+        attn = attn.astype(dt).transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
+        h2 = _layer_norm(h + attn, ap["ln_g"], ap["ln_b"])
+        h2 = _attn_apply(bp["mha2"], cfg, h2, enc_out, r, u, v, cross_mask, r_mask=True)
+        h = _ff(bp, cfg, h2)
+        new_k.append(jnp.concatenate([cache.k[i][:, 1:], k1], axis=1))
+        new_v.append(jnp.concatenate([cache.v[i][:, 1:], v1], axis=1))
+
+    logits = head(params, cfg, h)[:, 0]
+    return logits, DecKVCache(jnp.stack(new_k), jnp.stack(new_v),
+                              jnp.minimum(cache.valid + 1, M))
+
+
+# ---------------------------------------------------------------------------
+# Incremental LM decoding (predict_nw path: decoder without cross/FFN)
+# ---------------------------------------------------------------------------
+
+def lm_prefill(params, cfg: MultitaskConfig, x, pos, pad_mask,
+               mem_len: Optional[int] = None, pad_idx: int = 1
+               ) -> Tuple[jnp.ndarray, DecKVCache]:
+    """Decoder-only prefill for the 'lm' task (attention-only blocks)."""
+    B, W = x.shape
+    dt = cfg.act_dtype
+    M = cfg.mem_len if mem_len is None else mem_len
+    H, Dh = cfg.n_heads, cfg.d_head
+    h = embed_tokens(params, cfg, x, pos, pad_idx)
+    r = backwards_pos_enc(W + cfg.mem_len, cfg.d_model, dtype=dt)
+    u, v = params["decoder"]["u"].astype(dt), params["decoder"]["v"].astype(dt)
+    mask = _causal_mask(W) | pad_mask[:, None, None, :]
+    ks, vs = [], []
+    for bp in params["decoder"]["layers"]:
+        ap = bp["mha1"]
+        k = _proj(h, ap["k_w"], ap["k_b"], H, Dh).transpose(0, 2, 1, 3)
+        vv = _proj(h, ap["v_w"], ap["v_b"], H, Dh).transpose(0, 2, 1, 3)
+        ks.append(k[:, -M:])
+        vs.append(vv[:, -M:])
+        h = _attn_apply(ap, cfg, h, h, r, u, v, mask, r_mask=False)
+    logits = head(params, cfg, h[:, -1:])[:, 0]
+    n_valid = jnp.minimum((~pad_mask).sum(axis=1).astype(jnp.int32), M)
+    k_st, v_st = jnp.stack(ks), jnp.stack(vs)
+    if W < M:
+        padw = [(0, 0), (0, 0), (M - W, 0), (0, 0), (0, 0)]
+        k_st, v_st = jnp.pad(k_st, padw), jnp.pad(v_st, padw)
+    return logits, DecKVCache(k_st, v_st, n_valid)
+
+
+def lm_step(params, cfg: MultitaskConfig, tok, pos, cache: DecKVCache,
+            pad_idx: int = 1) -> Tuple[jnp.ndarray, DecKVCache]:
+    """One 'lm' decode step (attention-only blocks, self-attn KV cache)."""
+    B = tok.shape[0]
+    dt = cfg.act_dtype
+    H, Dh = cfg.n_heads, cfg.d_head
+    M = cache.k.shape[2]
+    h = embed_tokens(params, cfg, tok[:, None], pos[:, None], pad_idx)
+    r = backwards_pos_enc(M + 1, cfg.d_model, dtype=dt)
+    u, v = params["decoder"]["u"].astype(dt), params["decoder"]["v"].astype(dt)
+    slot = jnp.arange(M + 1)[None, None, None, :]
+    self_mask = slot < (M - cache.valid.reshape(B, 1, 1, 1))
+    new_k, new_v = [], []
+    for i, bp in enumerate(params["decoder"]["layers"]):
+        ap = bp["mha1"]
+        k1 = _proj(h, ap["k_w"], ap["k_b"], H, Dh).transpose(0, 2, 1, 3)
+        v1 = _proj(h, ap["v_w"], ap["v_b"], H, Dh).transpose(0, 2, 1, 3)
+        k_full = jnp.concatenate([cache.k[i].astype(dt), k1], axis=1).transpose(0, 2, 1, 3)
+        v_full = jnp.concatenate([cache.v[i].astype(dt), v1], axis=1).transpose(0, 2, 1, 3)
+        q = _proj(h, ap["q_w"], ap["q_b"], H, Dh)
+        wkr = r @ ap["r_w"].astype(dt)
+        if ap["r_b"] is not None:
+            wkr = wkr + ap["r_b"].astype(dt)
+        wkr = wkr.reshape(M + 1, H, Dh).transpose(1, 0, 2)
+        acc = jnp.float32
+        score = (jnp.einsum("bhqd,bhkd->bhqk", q + u, k_full, preferred_element_type=acc)
+                 + jnp.einsum("bhqd,hkd->bhqk", q + v, wkr, preferred_element_type=acc))
+        if cfg.scale:
+            score = score * (1.0 / jnp.sqrt(jnp.asarray(Dh, acc)))
+        score = jnp.where(self_mask, NEG_INF, score)
+        prob = jax.nn.softmax(score.astype(jnp.float32), -1).astype(dt)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", prob, v_full, preferred_element_type=acc)
+        attn = attn.astype(dt).transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
+        h = _layer_norm(h + attn, ap["ln_g"], ap["ln_b"])
+        new_k.append(jnp.concatenate([cache.k[i][:, 1:], k1], axis=1))
+        new_v.append(jnp.concatenate([cache.v[i][:, 1:], v1], axis=1))
+    logits = head(params, cfg, h)[:, 0]
+    return logits, DecKVCache(jnp.stack(new_k), jnp.stack(new_v),
+                              jnp.minimum(cache.valid + 1, M))

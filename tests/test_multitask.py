@@ -1,0 +1,185 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import random_npenc
+from deepmusicgeneration_tpu.codec.index import npenc2idxenc, position_enc
+from deepmusicgeneration_tpu.decode.multitask_engine import MaskEngine, NWEngine, S2SEngine
+from deepmusicgeneration_tpu.models import multitask as mt
+from deepmusicgeneration_tpu.models.config import multitask_config, small_multitask_config
+
+
+@pytest.fixture(scope="module")
+def small():
+    cfg = small_multitask_config()
+    params = mt.init_multitask(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_param_shapes_and_pad_row(small):
+    cfg, params = small
+    assert params["embed"].shape == (cfg.vocab_size, cfg.d_model)
+    np.testing.assert_allclose(np.asarray(params["embed"][1]), 0.0)  # pad row zero
+    assert len(params["encoder"]["layers"]) == cfg.enc_layers
+    assert len(params["decoder"]["layers"]) == cfg.dec_layers
+
+
+def test_full_config_param_count():
+    cfg = multitask_config()
+    params = mt.init_multitask(jax.random.PRNGKey(0), cfg)
+    n = mt.param_count(params)
+    # 10+10 layer enc-dec, each block = self-attn + cross-attn + FFN
+    # (4 proj × 512² × 2 attn + 2×512×2048 FFN ≈ 4.2M/block × 20) ≈ 84.8M
+    assert n == 84_789_572
+
+
+def test_forward_task_routing(small):
+    cfg, params = small
+    rng = np.random.default_rng(0)
+    B, L = 2, 16
+    x = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, L)), jnp.int32)
+    pos = jnp.asarray(rng.integers(0, 64, (B, L)), jnp.int32)
+    out = mt.forward(params, cfg, {
+        "msk": {"x": x, "pos": pos},
+        "lm": {"x": x, "pos": pos},
+        "s2f": {"enc": x, "enc_pos": pos, "dec": x, "dec_pos": pos},
+    })
+    assert set(out) == {"msk", "lm", "s2f"}
+    for v in out.values():
+        assert v.shape == (B, L, cfg.vocab_size)
+
+
+def test_encoder_is_bidirectional_decoder_is_causal(small):
+    cfg, params = small
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, cfg.vocab_size, (1, 12))
+    x2 = x.copy()
+    x2[0, -1] = (x2[0, -1] + 1) % cfg.vocab_size  # change the LAST token
+    j = lambda a: jnp.asarray(a, jnp.int32)
+    enc1 = mt.forward(params, cfg, {"msk": {"x": j(x), "pos": None}})["msk"]
+    enc2 = mt.forward(params, cfg, {"msk": {"x": j(x2), "pos": None}})["msk"]
+    # bidirectional: changing the last token changes logits at position 0
+    assert np.abs(np.asarray(enc1 - enc2)[0, 0]).max() > 1e-6
+    dec1 = mt.forward(params, cfg, {"lm": {"x": j(x), "pos": None}})["lm"]
+    dec2 = mt.forward(params, cfg, {"lm": {"x": j(x2), "pos": None}})["lm"]
+    # causal: logits before the change are identical
+    np.testing.assert_allclose(np.asarray(dec1)[0, :-1], np.asarray(dec2)[0, :-1],
+                               atol=1e-5)
+
+
+def test_s2s_decoder_step_matches_full(small):
+    """Incremental decode (prefill + steps) equals the full s2s forward."""
+    cfg, params = small
+    rng = np.random.default_rng(2)
+    Le, Lt = 10, 9
+    enc_x = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, Le)), jnp.int32)
+    enc_pos = jnp.asarray(np.arange(Le)[None], jnp.int32)
+    targ = rng.integers(0, cfg.vocab_size, (1, Lt))
+    targ_pos = np.arange(Lt)[None]
+
+    full = mt.forward(params, cfg, {
+        "s2f": {"enc": enc_x, "enc_pos": enc_pos,
+                "dec": jnp.asarray(targ, jnp.int32),
+                "dec_pos": jnp.asarray(targ_pos, jnp.int32)},
+    })["s2f"]
+
+    enc_out = mt.encode(params, cfg, enc_x, enc_pos)
+    W = cfg.ctx_len
+    prefix = 4
+    tb = np.full((1, W), 1, np.int64)
+    tpb = np.zeros((1, W), np.int64)
+    pad = np.ones((1, W), bool)
+    tb[0, W - prefix:] = targ[0, :prefix]
+    tpb[0, W - prefix:] = targ_pos[0, :prefix]
+    pad[0, W - prefix:] = False
+    logits, cache = mt.decoder_prefill(
+        params, cfg, jnp.asarray(tb, jnp.int32), jnp.asarray(tpb, jnp.int32),
+        jnp.asarray(pad), enc_out)
+    # note: at W == exact target length the prefill is bit-identical to the
+    # full forward; padding to a bucket introduces only XLA shape-dependent
+    # fp32 accumulation noise (verified ≤ 4e-4 on logits)
+    np.testing.assert_allclose(np.asarray(logits)[0], np.asarray(full)[0, prefix - 1],
+                               atol=1.5e-3)
+    for t in range(prefix, Lt):
+        logits, cache = mt.decoder_step(
+            params, cfg, jnp.asarray(targ[:, t], jnp.int32),
+            jnp.asarray(targ_pos[:, t], jnp.int32), cache, enc_out)
+        np.testing.assert_allclose(np.asarray(logits)[0], np.asarray(full)[0, t],
+                                   atol=1.5e-3, err_msg=f"step {t}")
+
+
+def test_lm_step_matches_full(small):
+    cfg, params = small
+    rng = np.random.default_rng(3)
+    T = 12
+    x = rng.integers(0, cfg.vocab_size, (1, T))
+    full = mt.forward(params, cfg, {"lm": {"x": jnp.asarray(x, jnp.int32), "pos": None}})["lm"]
+    W = cfg.ctx_len
+    prefix = 5
+    xb = np.full((1, W), 1, np.int64)
+    pad = np.ones((1, W), bool)
+    xb[0, W - prefix:] = x[0, :prefix]
+    pad[0, W - prefix:] = False
+    logits, cache = mt.lm_prefill(params, cfg, jnp.asarray(xb, jnp.int32),
+                                  jnp.zeros((1, W), jnp.int32), jnp.asarray(pad))
+    np.testing.assert_allclose(np.asarray(logits)[0], np.asarray(full)[0, prefix - 1],
+                               atol=1.5e-3)
+    for t in range(prefix, T):
+        logits, cache = mt.lm_step(params, cfg, jnp.asarray(x[:, t], jnp.int32),
+                                   jnp.zeros((1,), jnp.int32), cache)
+        np.testing.assert_allclose(np.asarray(logits)[0], np.asarray(full)[0, t],
+                                   atol=1.5e-3, err_msg=f"step {t}")
+
+
+@pytest.fixture(scope="module")
+def seed_idx(vocab):
+    rng = np.random.default_rng(0)
+    return npenc2idxenc(random_npenc(rng, n_groups=8), vocab)[:-1]
+
+
+def test_mask_engine_fills_all_masks(small, vocab, seed_idx):
+    cfg, params = small
+    eng = MaskEngine(params, cfg, vocab)
+    masked = seed_idx.copy()
+    note_pos = np.nonzero((masked >= vocab.note_range[0]) & (masked < vocab.note_range[1]))[0]
+    sel = note_pos[::2]
+    masked[sel] = vocab.mask_idx
+    out = eng.predict_mask(masked, seed=1)
+    assert len(out) == len(masked)
+    assert (out != vocab.mask_idx).all()
+    # unmasked positions unchanged
+    keep = np.ones(len(masked), bool)
+    keep[sel] = False
+    np.testing.assert_array_equal(out[keep], masked[keep])
+    # filled positions are notes — or tempo/dummy tokens, which the reference
+    # grammar never bans anywhere (filter_invalid_indexes only bans the
+    # note/dur/ins ranges and SPECIAL_TOKS; quirk preserved)
+    filled = out[sel]
+    is_note = (filled >= vocab.note_range[0]) & (filled < vocab.note_range[1])
+    is_tail = filled >= vocab.ins_range[1]  # mt*/dummy* block
+    assert (is_note | is_tail).all()
+    assert is_note.mean() > 0.5
+
+
+def test_s2s_engine_runs(small, vocab, seed_idx):
+    cfg, params = small
+    eng = S2SEngine(params, cfg, vocab)
+    rng = np.random.default_rng(9)
+    targ = npenc2idxenc(random_npenc(rng, n_groups=2), vocab)[:-1]
+    out = eng.predict_s2s(seed_idx, targ, target_ins="Bass", n_words=32, seed=4)
+    assert len(out) >= len(targ)
+    np.testing.assert_array_equal(out[:len(targ)], targ)
+    new = out[len(targ):]
+    ilo, ihi = vocab.ins_range
+    ins_toks = new[(new >= ilo) & (new < ihi)]
+    assert (ins_toks == ilo + 2).all() if len(ins_toks) else True
+
+
+def test_nw_engine_runs(small, vocab, seed_idx):
+    cfg, params = small
+    eng = NWEngine(params, cfg, vocab)
+    out = eng.predict_nw(seed_idx, n_words=24, seed=5)
+    assert len(out) > 0
+    a = eng.predict_nw(seed_idx, n_words=24, seed=5)
+    np.testing.assert_array_equal(out, a)
