@@ -1,0 +1,347 @@
+"""High-level training APIs: the Learner layer.
+
+Mirrors the reference's `music_model_learner` / `MusicLearner`
+(deep_music_genre.py:1784-1972) and `multitask_model_learner`
+(deep_music_remix.py:2452-2489): model + data + one-cycle optimizer +
+callbacks (per-epoch sample generation, early stopping, best-checkpoint
+saving), with the training step jitted once and executed on a (dp, tp) mesh
+when more than one device is available.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..codec.item import MusicItem
+from ..models import multitask as mt
+from ..models import txl
+from ..models.config import MultitaskConfig, TXLConfig
+from ..vocab import MusicVocab
+from .checkpoint import load_checkpoint, save_checkpoint
+from .data import LMStreamLoader
+from .loop import TrainState, cross_entropy, make_optimizer, make_train_step
+
+
+@dataclass
+class FitResult:
+    history: List[Dict[str, float]] = field(default_factory=list)
+    best_loss: float = float("inf")
+    stopped_early: bool = False
+
+
+class MusicLearner:
+    """Genre-LM learner: fit_one_cycle + predict via the decode engine."""
+
+    def __init__(self, cfg: TXLConfig, vocab: MusicVocab,
+                 params=None, rng: Optional[jax.Array] = None):
+        self.cfg = cfg
+        self.vocab = vocab
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.params = params if params is not None else txl.init_txl(rng, cfg)
+        self._engine = None
+
+    # -- persistence (MusicLearner.save embeds config: genre:1812-1821) -----
+    def save(self, path: str, opt_state=None, step: int = 0) -> str:
+        return save_checkpoint(path, self.params, self.cfg, self.vocab,
+                               opt_state=opt_state, step=step)
+
+    @classmethod
+    def load(cls, path: str) -> "MusicLearner":
+        template_cfg = None
+        import json
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        cfg = TXLConfig.from_dict(manifest["config"])
+        vocab = MusicVocab.from_layout(manifest.get("vocab_layout", "genre"))
+        template = txl.init_txl(jax.random.PRNGKey(0), cfg)
+        params, _, cfg, vocab, _ = load_checkpoint(path, template_params=template)
+        return cls(cfg, vocab, params=params)
+
+    # -- inference ----------------------------------------------------------
+    @property
+    def engine(self):
+        if self._engine is None:
+            from ..decode.engine import GenerationEngine
+            self._engine = GenerationEngine(self.params, self.cfg, self.vocab)
+        return self._engine
+
+    def predict(self, item: MusicItem, n_words: int = 128,
+                temperatures=(1.0, 1.0, 1.0), min_bars: int = 4,
+                top_k: int = 30, top_p: float = 0.6, allowed_ins=None,
+                greedy: bool = False, seed: int = 0, mem_len: Optional[int] = None):
+        """Reference MusicLearner.predict contract: returns (pred, full)."""
+        new = self.engine.generate(
+            item.data, seed_pos=item.position, n_words=n_words,
+            temperatures=temperatures, min_bars=min_bars, top_k=top_k,
+            top_p=top_p, allowed_ins=allowed_ins, greedy=greedy, seed=seed,
+            mem_len=mem_len)
+        pred = MusicItem(new, self.vocab, ins=item.ins)
+        full = item.append(pred)
+        return pred, full
+
+    # -- training -----------------------------------------------------------
+    def fit_one_cycle(
+        self,
+        loader: LMStreamLoader,
+        epochs: int = 1,
+        lr: float = 5e-4,
+        clip: float = 0.5,
+        valid_loader: Optional[LMStreamLoader] = None,
+        early_stop_patience: Optional[int] = 5,
+        min_delta: float = 0.01,
+        save_best_to: Optional[str] = None,
+        sample_every_epoch: bool = False,
+        sample_seed_item: Optional[MusicItem] = None,
+        sample_dir: Optional[str] = None,
+        log_fn: Callable[[str], None] = print,
+        seed: int = 0,
+    ) -> FitResult:
+        total_steps = len(loader) * epochs
+        optimizer = make_optimizer(total_steps, peak_lr=lr, clip=clip)
+        state = TrainState(
+            params=self.params,
+            opt_state=optimizer.init(self.params),
+            mem=txl.init_state(self.cfg, loader.bs),
+            step=jnp.zeros((), jnp.int32),
+        )
+        step_fn = jax.jit(make_train_step(self.cfg, optimizer, self.vocab.pad_idx),
+                          static_argnames=("win_size",), donate_argnums=(0,))
+        rng = jax.random.PRNGKey(seed)
+        host_rng = np.random.default_rng(seed)
+        result = FitResult()
+        patience_left = early_stop_patience
+        mask_steps = self.cfg.mask_steps
+
+        for epoch in range(epochs):
+            t0 = time.time()
+            train_loss, train_acc, n = 0.0, 0.0, 0
+            state = state._replace(mem=txl.init_state(self.cfg, loader.bs))
+            for batch in loader:
+                rng, sub = jax.random.split(rng)
+                # rand_window_mask curriculum (genre:1586-1590): with p=0.2
+                # use a random window size ≤ mask_steps, else plain causal
+                win = (int(host_rng.integers(1, max(mask_steps, 1) + 1))
+                       if mask_steps and host_rng.random() < 0.2 else 1)
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                state, metrics = step_fn(state, jb, sub, win_size=win)
+                train_loss += float(metrics["loss"])
+                train_acc += float(metrics["acc"])
+                n += 1
+            train_loss /= max(n, 1)
+            train_acc /= max(n, 1)
+            entry = {"epoch": epoch, "train_loss": train_loss, "train_acc": train_acc,
+                     "time_s": time.time() - t0}
+
+            if valid_loader is not None:
+                entry.update(self.evaluate(state.params, valid_loader))
+            val_loss = entry.get("valid_loss", train_loss)
+            result.history.append(entry)
+            log_fn(f"epoch {epoch}: loss {train_loss:.4f} acc {train_acc:.3f} "
+                   + (f"val {val_loss:.4f} " if valid_loader else "")
+                   + f"({entry['time_s']:.1f}s)")
+
+            if val_loss < result.best_loss - min_delta:
+                result.best_loss = val_loss
+                patience_left = early_stop_patience
+                if save_best_to:
+                    self.params = state.params
+                    self.save(save_best_to, step=int(state.step))
+            elif early_stop_patience is not None:
+                patience_left -= 1
+                if patience_left <= 0:
+                    result.stopped_early = True
+                    log_fn(f"early stop at epoch {epoch}")
+                    break
+
+            if sample_every_epoch and sample_seed_item is not None:
+                try:
+                    self.params = state.params
+                    self._engine = None
+                    _, full = self.predict(sample_seed_item, n_words=256, seed=epoch)
+                    if sample_dir:
+                        os.makedirs(sample_dir, exist_ok=True)
+                        full.write_midi(os.path.join(sample_dir, f"pred_epoch_{epoch}.mid"))
+                except Exception as e:  # GenSamples catches too (notebook cell 65)
+                    log_fn(f"Invalid prediction generated at epoch {epoch}: {e}")
+
+        self.params = state.params
+        self._engine = None
+        return result
+
+    def evaluate(self, params, loader: LMStreamLoader) -> Dict[str, float]:
+        @jax.jit
+        def eval_step(params, batch, mem):
+            logits, new_mem = txl.forward(params, self.cfg, batch["x"],
+                                          pos=batch.get("pos"), state=mem)
+            loss, acc = cross_entropy(logits, batch["y"], self.vocab.pad_idx)
+            return loss, acc, new_mem
+
+        mem = txl.init_state(self.cfg, loader.bs)
+        tot_l, tot_a, n = 0.0, 0.0, 0
+        for batch in loader:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            l, a, mem = eval_step(params, jb, mem)
+            tot_l += float(l)
+            tot_a += float(a)
+            n += 1
+        return {"valid_loss": tot_l / max(n, 1), "valid_acc": tot_a / max(n, 1)}
+
+
+def music_model_learner(cfg: Optional[TXLConfig] = None,
+                        vocab: Optional[MusicVocab] = None,
+                        pretrained_path: Optional[str] = None,
+                        seed: int = 0) -> MusicLearner:
+    """Factory matching music_model_learner (genre:1784-1807)."""
+    if pretrained_path:
+        return MusicLearner.load(pretrained_path)
+    vocab = vocab or MusicVocab.create()
+    from ..models.config import btp_phase1_config
+    cfg = cfg or btp_phase1_config(len(vocab))
+    return MusicLearner(cfg, vocab, rng=jax.random.PRNGKey(seed))
+
+
+# ---------------------------------------------------------------------------
+# Multitask learner
+# ---------------------------------------------------------------------------
+
+def multi_loss(outputs: Dict[str, jnp.ndarray], targets: Dict[str, jnp.ndarray],
+               pad_idx: int):
+    """MultiLoss: sum of per-task CE ignoring pad (remix:2734-2741)."""
+    total = 0.0
+    metrics = {}
+    for key, y in targets.items():
+        loss, acc = cross_entropy(outputs[key], y, ignore_index=pad_idx)
+        total = total + loss
+        metrics[f"{key}_loss"] = loss
+        metrics[f"{key}_acc"] = acc
+    return total, metrics
+
+
+class MultitaskLearner:
+    def __init__(self, cfg: MultitaskConfig, vocab: MusicVocab,
+                 params=None, rng: Optional[jax.Array] = None):
+        self.cfg = cfg
+        self.vocab = vocab
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.params = params if params is not None else mt.init_multitask(rng, cfg)
+        self._mask_engine = None
+        self._s2s_engine = None
+        self._nw_engine = None
+
+    def save(self, path: str, opt_state=None, step: int = 0) -> str:
+        return save_checkpoint(path, self.params, self.cfg, self.vocab,
+                               opt_state=opt_state, step=step)
+
+    @classmethod
+    def load(cls, path: str) -> "MultitaskLearner":
+        import json
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        cfg = MultitaskConfig.from_dict(manifest["config"])
+        vocab = MusicVocab.from_layout(manifest.get("vocab_layout", "genre"))
+        template = mt.init_multitask(jax.random.PRNGKey(0), cfg)
+        params, _, cfg, vocab, _ = load_checkpoint(path, template_params=template)
+        return cls(cfg, vocab, params=params)
+
+    # -- inference ----------------------------------------------------------
+    def predict_mask(self, masked_item: MusicItem, temperatures=(1.0, 1.0),
+                     top_k: int = 20, top_p: float = 0.8, seed: int = 0) -> MusicItem:
+        if self._mask_engine is None:
+            from ..decode.multitask_engine import MaskEngine
+            self._mask_engine = MaskEngine(self.params, self.cfg, self.vocab)
+        out = self._mask_engine.predict_mask(
+            masked_item.data, position=masked_item.position,
+            temperatures=temperatures, top_k=top_k, top_p=top_p, seed=seed)
+        return MusicItem(out.astype(np.int64), self.vocab)
+
+    def predict_s2s(self, input_item: MusicItem, target_item: MusicItem,
+                    n_words: int = 256, temperatures=(1.0, 1.0),
+                    top_k: int = 30, top_p: float = 0.8, seed: int = 0) -> MusicItem:
+        if self._s2s_engine is None:
+            from ..decode.multitask_engine import S2SEngine
+            self._s2s_engine = S2SEngine(self.params, self.cfg, self.vocab)
+        target_ins = target_item.ins if isinstance(target_item.ins, str) else None
+        out = self._s2s_engine.predict_s2s(
+            input_item.data, target_item.data, target_ins=target_ins,
+            n_words=n_words, temperatures=temperatures, top_k=top_k,
+            top_p=top_p, seed=seed)
+        return MusicItem(out.astype(np.int64), self.vocab, ins=target_item.ins)
+
+    def predict_nw(self, item: MusicItem, n_words: int = 128,
+                   temperatures=(1.0, 1.0), min_bars: int = 4,
+                   top_k: int = 30, top_p: float = 0.6, seed: int = 0):
+        if self._nw_engine is None:
+            from ..decode.multitask_engine import NWEngine
+            self._nw_engine = NWEngine(self.params, self.cfg, self.vocab)
+        new = self._nw_engine.predict_nw(item.data, n_words=n_words,
+                                         temperatures=temperatures,
+                                         min_bars=min_bars, top_k=top_k,
+                                         top_p=top_p, seed=seed)
+        pred = MusicItem(new.astype(np.int64), self.vocab)
+        return pred, item.append(pred)
+
+    # -- training -----------------------------------------------------------
+    def fit(self, batches, epochs: int = 1, lr: float = 5e-4, clip: float = 0.5,
+            log_fn: Callable[[str], None] = print, seed: int = 0) -> FitResult:
+        """Train on an iterable of (x_dict, y_dict) multitask batches.
+
+        ``batches`` may be a list or a loader; it is re-iterated per epoch.
+        """
+        sample = batches if isinstance(batches, list) else list(batches)
+        total_steps = len(sample) * epochs
+        optimizer = make_optimizer(total_steps, peak_lr=lr, clip=clip)
+        opt_state = optimizer.init(self.params)
+        pad_idx = self.vocab.pad_idx
+        cfg = self.cfg
+
+        @jax.jit
+        def step(params, opt_state, xd, yd):
+            def loss_fn(p):
+                out = mt.forward(p, cfg, xd, pad_idx=pad_idx)
+                return multi_loss(out, yd, pad_idx)
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state2 = optimizer.update(grads, opt_state, params)
+            params2 = optax.apply_updates(params, updates)
+            return params2, opt_state2, loss, metrics
+
+        params = self.params
+        result = FitResult()
+        for epoch in range(epochs):
+            t0 = time.time()
+            tot, n = 0.0, 0
+            for xd, yd in sample:
+                jx = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a) if a is not None else None, xd,
+                    is_leaf=lambda a: a is None or isinstance(a, np.ndarray))
+                jy = {k: jnp.asarray(v) for k, v in yd.items()}
+                params, opt_state, loss, metrics = step(params, opt_state, jx, jy)
+                tot += float(loss)
+                n += 1
+            entry = {"epoch": epoch, "train_loss": tot / max(n, 1),
+                     "time_s": time.time() - t0}
+            result.history.append(entry)
+            result.best_loss = min(result.best_loss, entry["train_loss"])
+            log_fn(f"epoch {epoch}: loss {entry['train_loss']:.4f} ({entry['time_s']:.1f}s)")
+        self.params = params
+        self._mask_engine = self._s2s_engine = self._nw_engine = None
+        return result
+
+
+def multitask_model_learner(cfg: Optional[MultitaskConfig] = None,
+                            vocab: Optional[MusicVocab] = None,
+                            pretrained_path: Optional[str] = None,
+                            seed: int = 0) -> MultitaskLearner:
+    if pretrained_path:
+        return MultitaskLearner.load(pretrained_path)
+    vocab = vocab or MusicVocab.create()
+    from ..models.config import multitask_config
+    cfg = cfg or multitask_config(len(vocab))
+    return MultitaskLearner(cfg, vocab, rng=jax.random.PRNGKey(seed))

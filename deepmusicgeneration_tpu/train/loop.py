@@ -83,9 +83,12 @@ def make_train_step(cfg: TXLConfig, optimizer, pad_idx: int) -> Callable:
     """
 
     def loss_fn(params, batch, mem, rng, win_size):
+        # rand_window_mask semantics: an active window (>1) uses diagonal 0
+        # (only completed windows visible), plain causal uses diagonal 1
         logits, new_mem = txl.forward(
             params, cfg, batch["x"], pos=batch.get("pos"), state=mem,
-            train=True, rng=rng, win_size=win_size)
+            train=True, rng=rng, win_size=win_size,
+            win_k=0 if win_size > 1 else 1)
         loss, acc = cross_entropy(logits, batch["y"], ignore_index=pad_idx)
         return loss, (acc, new_mem)
 
