@@ -54,11 +54,17 @@ def prev_class_table(vocab: MusicVocab) -> np.ndarray:
     return cls
 
 
-def allowed_table(vocab: MusicVocab) -> np.ndarray:
+def allowed_table(vocab: MusicVocab, strict: bool = False) -> np.ndarray:
     """(3, 2, vocab) bool: allowed[prev_class, last_xxsep] next-token mask.
 
     Reproduces filter_invalid_indexes exactly (including the three-way
     special-token bans and the xxni/instrument exclusivity overlay).
+
+    ``strict=True`` additionally bans the tempo/dummy tail tokens the
+    reference never bans (its quirk): a trained model essentially never
+    samples them, but with small/untrained models they corrupt the
+    [note dur ins] triplet framing, so the compiled engines default to
+    strict tables.
     """
     V = len(vocab)
     nlo, nhi = vocab.note_range
@@ -93,6 +99,8 @@ def allowed_table(vocab: MusicVocab) -> np.ndarray:
                 ok[ilo:ihi] = False       # after xxsep: only xxni may fill the slot
             else:
                 ok[vocab.ni_idx] = False  # otherwise xxni is banned
+            if strict:
+                ok[ihi:] = False          # mt*/dummy* tail
             table[c, flag] = ok
     return table
 

@@ -63,9 +63,10 @@ class DecodeTables(NamedTuple):
     dur_lo: int
 
 
-def build_tables(vocab: MusicVocab, temp_mode: str = "genre") -> DecodeTables:
+def build_tables(vocab: MusicVocab, temp_mode: str = "genre",
+                 strict: bool = True) -> DecodeTables:
     return DecodeTables(
-        allowed=jnp.asarray(G.allowed_table(vocab)),
+        allowed=jnp.asarray(G.allowed_table(vocab, strict=strict)),
         prev_class=jnp.asarray(G.prev_class_table(vocab)),
         temp_slot=jnp.asarray(G.temp_slot_table(vocab, temp_mode)),
         sep_idx=vocab.sep_idx,

@@ -126,9 +126,13 @@ class MaskEngine:
                      greedy: bool = False, seed: int = 0) -> np.ndarray:
         from ..codec.index import position_enc
 
-        x = np.asarray(masked_idxenc, dtype=np.int32)
-        pos = (np.asarray(position, np.int32) if position is not None
-               else position_enc(x, self.vocab).astype(np.int32))
+        x_all = np.asarray(masked_idxenc, dtype=np.int32)
+        pos_all = (np.asarray(position, np.int32) if position is not None
+                   else position_enc(x_all, self.vocab).astype(np.int32))
+        # the bidirectional encoder is O(L²); cap the window and pass the tail
+        # through unchanged (masks beyond the cap stay masked)
+        max_w = 1024
+        x, pos = x_all[:max_w], pos_all[:max_w]
         W = _bucket(len(x))
         xb = np.full((1, W), self.vocab.pad_idx, np.int32)
         pb = np.zeros((1, W), np.int32)
@@ -148,7 +152,10 @@ class MaskEngine:
             jnp.asarray(padc), jnp.asarray(mp), self.tables,
             jnp.asarray(temps), jnp.asarray(np.float32(top_p)), self.banned,
             jax.random.PRNGKey(seed), n_slots, top_k, greedy)
-        return np.asarray(out)[0, :len(x)]
+        filled = np.asarray(out)[0, :len(x)]
+        if len(x_all) > len(x):
+            return np.concatenate([filled, x_all[len(x):]])
+        return filled
 
 
 # ---------------------------------------------------------------------------
@@ -219,6 +226,13 @@ class S2SEngine:
         targ = np.asarray(target_idxenc, np.int32)
         inp_pos = position_enc(inp, v).astype(np.int32)
         targ_pos = position_enc(targ, v).astype(np.int32)
+
+        # cap the encoder window: keep the head of the source track (aligned
+        # with where the target continues from); the reference encodes the
+        # whole O(L²) sequence, which does not bound memory — we bucket it
+        max_enc = 1024
+        if len(inp) > max_enc:
+            inp, inp_pos = inp[:max_enc], inp_pos[:max_enc]
 
         We = _bucket(len(inp))
         ib = np.full((1, We), v.pad_idx, np.int32)

@@ -1,0 +1,84 @@
+"""End-to-end application-layer tests on small models with real MIDI files."""
+
+import os
+
+import numpy as np
+import pytest
+
+import deepmusicgeneration_tpu.app.app_utils as app_utils
+from deepmusicgeneration_tpu.codec.item import MusicItem
+from deepmusicgeneration_tpu.models.config import small_multitask_config, small_test_config
+from deepmusicgeneration_tpu.train.learner import MultitaskLearner, MusicLearner
+from deepmusicgeneration_tpu.tasks.generate import predict_nw_genre
+from deepmusicgeneration_tpu.tasks.harmonize import s2s_predict_from_midi
+from deepmusicgeneration_tpu.tasks.remix import predict_mask_remix
+
+FUR_ELISE = "/root/reference/fur_elise.mid"
+NEVER = "/root/reference/Never_Gonna_Let_You_Go.mid"
+
+
+@pytest.fixture(scope="module")
+def genre_learner(vocab):
+    return MusicLearner(small_test_config(), vocab)
+
+
+@pytest.fixture(scope="module")
+def multitask_learner(vocab):
+    return MultitaskLearner(small_multitask_config(), vocab)
+
+
+def test_predict_nw_genre_end_to_end(genre_learner, tmp_path):
+    out = str(tmp_path / "genre_output.mid")
+    full = predict_nw_genre(genre_learner, FUR_ELISE, genre="jazz",
+                            max_len=48, cutoff_beat=16, output_path=out, seed=1)
+    assert os.path.exists(out)
+    # genre token applied to the seed
+    assert genre_learner.vocab.itos[full.data[0]] == "xxjazz"
+    # the output parses back as MIDI with notes
+    item = MusicItem.from_file(out, genre_learner.vocab)
+    assert len(item) > 10
+
+
+def test_predict_mask_remix_end_to_end(multitask_learner, tmp_path):
+    out = str(tmp_path / "remix_output.mid")
+    pred = predict_mask_remix(multitask_learner, FUR_ELISE, genre="pop",
+                              cutoff_beat=16, pred_type="notes",
+                              mask_proportion=0.5, output_path=out, seed=2)
+    assert os.path.exists(out)
+    assert (pred.data != multitask_learner.vocab.mask_idx).all()
+
+
+def test_s2s_harmonize_end_to_end(multitask_learner, tmp_path):
+    multitrack = s2s_predict_from_midi(multitask_learner, NEVER, n_words=24,
+                                       seed_len=16, seed=3)
+    out = str(tmp_path / "s2s_output.mid")
+    multitrack.write_midi(out)
+    assert os.path.exists(out)
+
+
+def test_app_factories_fresh_models(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    app_utils.createGenreContinuationModel.cache_clear()
+    m = app_utils.createGenreContinuationModel()
+    assert m.cfg.n_layers == 8 and m.cfg.d_inner == 3072  # btp_phase1
+    app_utils.createGenreContinuationModel.cache_clear()
+
+
+def test_app_factory_loads_checkpoint(genre_learner, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    genre_learner.save(ckpt)
+    app_utils.createGenreContinuationModel.cache_clear()
+    loaded = app_utils.createGenreContinuationModel(ckpt_path=ckpt)
+    assert loaded.cfg == genre_learner.cfg
+    np.testing.assert_array_equal(np.asarray(loaded.params["embed"]),
+                                  np.asarray(genre_learner.params["embed"]))
+    app_utils.createGenreContinuationModel.cache_clear()
+
+
+def test_cli_tokenize(tmp_path, capsys):
+    from deepmusicgeneration_tpu.cli import main
+    out = str(tmp_path / "toks.txt")
+    main(["tokenize", "--midi", FUR_ELISE, "--out", out])
+    text = open(out).read()
+    assert text.startswith("xxbos xxpad")
+    assert " n76 " in text  # Für Elise's opening E5

@@ -152,14 +152,10 @@ def test_mask_engine_fills_all_masks(small, vocab, seed_idx):
     keep = np.ones(len(masked), bool)
     keep[sel] = False
     np.testing.assert_array_equal(out[keep], masked[keep])
-    # filled positions are notes — or tempo/dummy tokens, which the reference
-    # grammar never bans anywhere (filter_invalid_indexes only bans the
-    # note/dur/ins ranges and SPECIAL_TOKS; quirk preserved)
+    # filled positions are notes (the engines use strict grammar tables that
+    # also ban the mt*/dummy* tail the reference forgot to ban)
     filled = out[sel]
-    is_note = (filled >= vocab.note_range[0]) & (filled < vocab.note_range[1])
-    is_tail = filled >= vocab.ins_range[1]  # mt*/dummy* block
-    assert (is_note | is_tail).all()
-    assert is_note.mean() > 0.5
+    assert ((filled >= vocab.note_range[0]) & (filled < vocab.note_range[1])).all()
 
 
 def test_s2s_engine_runs(small, vocab, seed_idx):
