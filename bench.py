@@ -103,11 +103,41 @@ def cpu_baseline() -> float:
     return 0.0
 
 
+def run_batched_bench(batch: int = 64, n_words: int = 256):
+    """Config 5: batched streaming — 64 prompts tokenized + decoded at once."""
+    import jax
+    import numpy as np
+    from deepmusicgeneration_tpu.decode.engine import GenerationEngine
+    from deepmusicgeneration_tpu.models import txl
+    from deepmusicgeneration_tpu.models.config import btp_phase1_config
+    from deepmusicgeneration_tpu.codec.item import MusicItem
+    from deepmusicgeneration_tpu.vocab import MusicVocab
+
+    vocab = MusicVocab.create()
+    cfg = btp_phase1_config()
+    params = txl.init_txl(jax.random.PRNGKey(0), cfg)
+    engine = GenerationEngine(params, cfg, vocab)
+    t0 = time.time()
+    seeds = [MusicItem.from_file(fp, vocab, genre="electronic").trim_to_beat(32).remove_eos().data
+             for fp in ["/root/reference/fur_elise.mid",
+                        "/root/reference/Undertale_-_Megalovania.mid"] * (batch // 2)]
+    tok_time = time.time() - t0
+    engine.generate_batch(seeds, n_words=n_words, min_bars=1_000_000, seed=0)
+    t0 = time.time()
+    engine.generate_batch(seeds, n_words=n_words, min_bars=1_000_000, seed=1)
+    dt = time.time() - t0
+    tps = batch * n_words / dt
+    log(f"batched decode: B={batch} × {n_words} tokens in {dt:.3f}s → {tps:.0f} tok/s "
+        f"(host tokenize {batch} files: {tok_time:.2f}s)")
+    return tps, batch / tok_time
+
+
 def main():
     import jax
     platform = jax.devices()[0].platform
     log(f"backend: {platform} ({jax.devices()})")
     tps, dt = run_decode_bench(N_WORDS)
+    batch_tps, files_per_sec = (run_batched_bench() if platform != "cpu" else (0, 0))
     base = cpu_baseline() if platform != "cpu" else tps
     vs = tps / base if base > 0 else 0.0
     result = {
@@ -120,6 +150,8 @@ def main():
             "n_words": N_WORDS,
             "p50_latency_s_1024_tokens": round(dt, 3),
             "cpu_baseline_tps": round(base, 2),
+            "batch64_tokens_per_sec": round(batch_tps, 1),
+            "midi_files_encoded_per_sec": round(files_per_sec, 2),
             "backend": platform,
         },
     }

@@ -194,8 +194,10 @@ def generate_compiled(
 ):
     """Prefill + fused sampling scan. Returns (tokens (B, n_words), lengths (B,))."""
     B = window_toks.shape[0]
-    logits, cache = txl.prefill(params, cfg, window_toks, window_pad,
-                                pos=window_pos, mem_len=mem_len)
+    logits, cache0 = txl.prefill(params, cfg, window_toks, window_pad,
+                                 pos=window_pos, mem_len=mem_len)
+    cache = txl.ring_from_prefill(cache0, cfg)
+    wkr_all = txl.precompute_wkr(params, cfg, mem_len)
 
     prev0 = window_toks[:, -1]
     st0 = SampleState(
@@ -214,7 +216,8 @@ def generate_compiled(
         step_frac = i.astype(jnp.float32) / settings.n_words
         idx, st = sample_next_token(logits, st, tables, temperatures, top_p,
                                     min_bars, allowed_ins, sub, settings, step_frac)
-        logits, cache = txl.decode_step(params, cfg, idx, st.last_pos, cache)
+        logits, cache = txl.decode_step_ring(params, cfg, idx, st.last_pos,
+                                             cache, wkr_all)
         return (cache, st, logits, rng), idx
 
     (_, st, _, _), toks = jax.lax.scan(
@@ -240,7 +243,13 @@ class GenerationEngine:
     (batch, window, n_words, settings) bucket.
     """
 
-    def __init__(self, params: Dict, cfg: TXLConfig, vocab: MusicVocab):
+    def __init__(self, params: Dict, cfg: TXLConfig, vocab: MusicVocab,
+                 cast_bf16: Optional[bool] = None):
+        if cast_bf16 is None:
+            cast_bf16 = cfg.dtype == "bfloat16"
+        if cast_bf16:
+            from ..models.precision import cast_params_for_inference
+            params = cast_params_for_inference(params)
         self.params = params
         self.cfg = cfg
         self.vocab = vocab

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.rel_attention import (
+    NEG_INF,
     backwards_pos_enc,
     causal_window_mask,
     rel_attention,
@@ -373,3 +374,133 @@ def decode_step(
 def txl_config_41m() -> TXLConfig:
     from .config import btp_phase1_config
     return btp_phase1_config()
+
+
+# ---------------------------------------------------------------------------
+# Ring-buffer KV cache decode (the fast path)
+#
+# The shift-append cache above rewrites the whole K/V buffer every token
+# (O(L·B·M·D) copies + layout transposes). The ring variant writes ONE slot
+# per step via dynamic_update_slice and resolves relative positions through a
+# per-slot global-index array:
+#   * cache layout (n_layers, B, H, M, Dh) — head-major, no transposes,
+#   * slot j holds the token with global index g[b, j] (pads: large negative),
+#   * distance(current → slot) = g_cur - g[b, j]; masked unless 1 ≤ d ≤ M,
+#   * the BD term is a gather from distance-space scores
+#     s_d = (q+v)·W_r·sinusoid(d), d ∈ [0..M], with wkr precomputed once.
+# Mathematically identical to `decode_step` (verified in tests).
+# ---------------------------------------------------------------------------
+
+class RingKVCache(NamedTuple):
+    k: jnp.ndarray        # (n_layers, B, H, M, Dh)
+    v: jnp.ndarray        # (n_layers, B, H, M, Dh)
+    g: jnp.ndarray        # (B, M) int32: global index per slot (pad → -2^30)
+    ptr: jnp.ndarray      # () int32: next slot to overwrite
+    g_cur: jnp.ndarray    # () int32: global index of the token being decoded
+
+PAD_G = -(1 << 30)
+
+
+def precompute_wkr(params: Dict, cfg: TXLConfig, mem_len: int) -> jnp.ndarray:
+    """(n_layers, H, M+1, Dh): r_attn projection of distances M..0, hoisted
+    out of the decode loop (it is loop-invariant)."""
+    dt = cfg.act_dtype
+    r = backwards_pos_enc(mem_len + 1, cfg.d_model, dtype=dt)  # dist M..0
+    outs = []
+    for lp in params["layers"]:
+        outs.append(_wkr(lp, r, cfg.n_heads, cfg.d_head))
+    return jnp.stack(outs)  # (L, H, M+1, Dh)
+
+
+def ring_from_prefill(cache: KVCache, cfg: TXLConfig) -> RingKVCache:
+    """Convert the right-aligned prefill cache into ring form.
+
+    Prefill slot j (of M, right-aligned) holds the prompt token with global
+    index j - M (last prompt token → -1); per-row invalid slots get PAD_G.
+    The ring pointer starts at 0, overwriting the oldest slot first.
+    """
+    L, B, M, H, Dh = cache.k.shape
+    k = cache.k.transpose(0, 1, 3, 2, 4)  # → (L, B, H, M, Dh)
+    v = cache.v.transpose(0, 1, 3, 2, 4)
+    slot = jnp.arange(M)[None, :]
+    g = slot - M  # last prompt token at slot M-1 → g = -1
+    valid = slot >= (M - cache.valid[:, None])  # (B, M)
+    g = jnp.where(valid, g, PAD_G).astype(jnp.int32)
+    g = jnp.broadcast_to(g, (B, M))
+    return RingKVCache(k=k, v=v, g=g, ptr=jnp.zeros((), jnp.int32),
+                       g_cur=jnp.zeros((), jnp.int32))
+
+
+def decode_step_ring(
+    params: Dict,
+    cfg: TXLConfig,
+    tok: jnp.ndarray,      # (B,)
+    pos: jnp.ndarray,      # (B,) beat positions
+    cache: RingKVCache,
+    wkr_all: jnp.ndarray,  # (L, H, M+1, Dh) from precompute_wkr
+) -> Tuple[jnp.ndarray, RingKVCache]:
+    B = tok.shape[0]
+    dt = cfg.act_dtype
+    H, Dh = cfg.n_heads, cfg.d_head
+    M = cache.k.shape[3]
+    emb = params["embed"][tok].astype(dt)[:, None, :]
+    if cfg.encode_position:
+        emb = emb + beat_position_emb(params, cfg, pos[:, None]).astype(dt)
+    h = emb
+
+    dist = cache.g_cur - cache.g                     # (B, M), ≥1 for valid slots
+    blocked = (dist < 1) | (dist > M)                # (B, M)
+    scale = 1.0 / math.sqrt(Dh) if cfg.scale else 1.0
+
+    u_b, v_b = params["u"].astype(dt), params["v"].astype(dt)
+    new_k = cache.k
+    new_v = cache.v
+    for i, lp in enumerate(params["layers"]):
+        q, k1, v1 = _qkv(lp, h, H, Dh)               # (B, H, 1, Dh)
+        ks = cache.k[i]                               # (B, H, M, Dh)
+        vs = cache.v[i]
+        acc = jnp.float32
+        ac = jnp.einsum("bhqd,bhkd->bhqk", q + u_b, ks, preferred_element_type=acc)[:, :, 0]
+        # distance-space relative scores (wkr row m ↔ distance M-m, so s_d
+        # index d ↔ distance M-d). Ring slot j holds distance
+        # ((ptr-1-j) mod M) + 1 — a pure rotation — so the slot-space BD is
+        # reverse-then-roll(ptr): no per-element gather.
+        s_d = jnp.einsum("bhqd,hkd->bhqk", q + v_b, wkr_all[i],
+                         preferred_element_type=acc)[:, :, 0]   # (B, H, M+1)
+        # sd_lin[m] = score for distance m+1  (s_d index M-1-m)
+        sd_lin_rev = s_d[..., :M]     # index j ↔ distance M-j = sd_lin reversed
+        bd = jnp.roll(sd_lin_rev, cache.ptr, axis=-1)
+        score = (ac + bd) * scale                     # (B, H, M)
+        score = jnp.where(blocked[:, None, :], NEG_INF, score)
+        # self term (distance 0)
+        ac_self = jnp.einsum("bhqd,bhqd->bhq", q + u_b, k1, preferred_element_type=acc)
+        bd_self = s_d[..., -1]                        # wkr index M ↔ distance 0
+        self_score = (ac_self[:, :, 0] + bd_self) * scale      # (B, H)
+        full = jnp.concatenate([score, self_score[:, :, None]], axis=-1)
+        prob = jax.nn.softmax(full.astype(jnp.float32), axis=-1).astype(dt)
+        attn = jnp.einsum("bhk,bhkd->bhd", prob[..., :M], vs,
+                          preferred_element_type=acc).astype(dt)
+        attn = attn + prob[..., M:M + 1].astype(dt) * v1[:, :, 0]
+        attn = attn.reshape(B, 1, H * Dh)
+        out = attn @ lp["out_w"].astype(dt)
+        if lp["out_b"] is not None:
+            out = out + lp["out_b"].astype(dt)
+        h2 = _layer_norm(h + out, lp["ln1_g"], lp["ln1_b"])
+        ff = _act(h2 @ lp["ff1_w"].astype(dt) + lp["ff1_b"].astype(dt), cfg.act)
+        ff = ff @ lp["ff2_w"].astype(dt) + lp["ff2_b"].astype(dt)
+        h = _layer_norm(h2 + ff, lp["ln2_g"], lp["ln2_b"])
+        # single-slot ring write: k1/v1 are (B, H, 1, Dh) — slot axis in place
+        new_k = jax.lax.dynamic_update_slice(
+            new_k, k1.reshape(1, B, H, 1, Dh), (i, 0, 0, cache.ptr, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            new_v, v1.reshape(1, B, H, 1, Dh), (i, 0, 0, cache.ptr, 0))
+
+    logits = h[:, 0].astype(jnp.float32) @ params["embed"].T.astype(jnp.float32)
+    if params.get("head_b") is not None:
+        logits = logits + params["head_b"]
+    g = jax.lax.dynamic_update_slice(
+        cache.g, jnp.broadcast_to(cache.g_cur, (B, 1)).astype(jnp.int32),
+        (0, cache.ptr))
+    new_cache = RingKVCache(k=new_k, v=new_v, g=g,
+                            ptr=(cache.ptr + 1) % M, g_cur=cache.g_cur + 1)
+    return logits, new_cache

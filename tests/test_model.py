@@ -115,6 +115,37 @@ def test_decode_step_matches_forward(small):
                                    err_msg=f"step {t}")
 
 
+def test_ring_decode_matches_shift_decode(small):
+    """The ring-buffer fast path is mathematically identical to the
+    shift-append cache (and hence to the full forward)."""
+    cfg, params = small
+    rng = np.random.default_rng(11)
+    T = 16
+    x = rng.integers(0, cfg.vocab_size, size=(2, T))
+    W = cfg.ctx_len
+    seed_len = 5
+    window = np.zeros((2, W), dtype=np.int64)
+    window[:, W - seed_len:] = x[:, :seed_len]
+    pad_mask = np.zeros((2, W), bool)
+    pad_mask[:, : W - seed_len] = True
+    # row 1 has a shorter prompt (ragged batch)
+    window[1, : W - 3] = 0
+    pad_mask[1, : W - 3] = True
+
+    logits0, cache0 = txl.prefill(params, cfg, jnp.asarray(window), jnp.asarray(pad_mask))
+    ring = txl.ring_from_prefill(cache0, cfg)
+    wkr = txl.precompute_wkr(params, cfg, cfg.mem_len)
+    shift_cache = cache0
+    l_ring, l_shift = logits0, logits0
+    for t in range(seed_len, T):
+        tok = jnp.asarray(x[:, t])
+        zero = jnp.zeros((2,), jnp.int32)
+        l_shift, shift_cache = txl.decode_step(params, cfg, tok, zero, shift_cache)
+        l_ring, ring = txl.decode_step_ring(params, cfg, tok, zero, ring, wkr)
+        np.testing.assert_allclose(np.asarray(l_ring), np.asarray(l_shift),
+                                   atol=1e-3, err_msg=f"step {t}")
+
+
 def test_beat_position_encoder():
     cfg = small_test_config().replace(encode_position=True)
     params = txl.init_txl(jax.random.PRNGKey(7), cfg)
