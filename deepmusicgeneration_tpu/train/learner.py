@@ -73,6 +73,16 @@ class MusicLearner:
             self._engine = GenerationEngine(self.params, self.cfg, self.vocab)
         return self._engine
 
+    def beam_search(self, item: MusicItem, n_words: int = 64, top_k: int = 10,
+                    beam_sz: int = 10, temperature: float = 1.0,
+                    seed: int = 0) -> np.ndarray:
+        """MusicLearner.beam_search contract (genre:1823-1851): returns the
+        generated token ids of a sampled finished beam."""
+        from ..decode.beam import beam_search
+        return beam_search(self.engine.params, self.cfg, self.vocab, item.data,
+                           n_words=n_words, top_k=top_k, beam_sz=beam_sz,
+                           temperature=temperature, seed=seed)
+
     def predict(self, item: MusicItem, n_words: int = 128,
                 temperatures=(1.0, 1.0, 1.0), min_bars: int = 4,
                 top_k: int = 30, top_p: float = 0.6, allowed_ins=None,

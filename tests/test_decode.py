@@ -98,3 +98,14 @@ def test_positions_advance(engine, seed_idx, vocab):
     pos = position_enc(full, vocab)
     assert (np.diff(pos) >= 0).all()
     assert pos[-1] > position_enc(seed_idx, vocab)[-1]
+
+
+def test_beam_search(engine, seed_idx, vocab):
+    from deepmusicgeneration_tpu.decode.beam import beam_search
+    out = beam_search(engine.params, engine.cfg, vocab, seed_idx,
+                      n_words=12, top_k=5, beam_sz=4, seed=0)
+    assert out.shape == (12,)
+    assert (out >= 0).all() and (out < len(vocab)).all()
+    out2 = beam_search(engine.params, engine.cfg, vocab, seed_idx,
+                       n_words=12, top_k=5, beam_sz=4, seed=0)
+    np.testing.assert_array_equal(out, out2)

@@ -149,3 +149,25 @@ def test_s2s_loader(vocab):
     xd, yd = next(iter(loader))
     assert xd["s2f"]["enc"].shape == (2, 64)
     assert yd["s2f"].shape == (2, 64)
+
+
+def test_phase_timer_and_logger(tmp_path):
+    from deepmusicgeneration_tpu.utils.profiling import PhaseTimer, ThroughputMeter
+    from deepmusicgeneration_tpu.utils.logging import RunLogger
+    timer = PhaseTimer()
+    with timer.phase("tokenize"):
+        sum(range(1000))
+    with timer.phase("tokenize"):
+        sum(range(1000))
+    s = timer.summary()
+    assert s["tokenize"]["count"] == 2 and s["tokenize"]["total_s"] >= 0
+    meter = ThroughputMeter()
+    meter.update(10)
+    meter.update(10)
+    assert meter.total == 20 and meter.rate > 0
+    logger = RunLogger(str(tmp_path), console=False)
+    logger.metrics(1, loss=2.5)
+    logger.close()
+    import json
+    rec = json.loads(open(logger.path).read().splitlines()[0])
+    assert rec["event"] == "metrics" and rec["loss"] == 2.5
