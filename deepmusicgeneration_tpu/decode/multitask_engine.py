@@ -109,6 +109,9 @@ class MaskEngine:
     """predict_mask host wrapper (remix:2563-2613 contract)."""
 
     def __init__(self, params: Dict, cfg: MultitaskConfig, vocab: MusicVocab):
+        if cfg.dtype == "bfloat16":
+            from ..models.precision import cast_params_for_inference
+            params = cast_params_for_inference(params)
         self.params, self.cfg, self.vocab = params, cfg, vocab
         self.tables = build_tables(vocab, "twotemp")
         # special tokens never produced by infill: bos, sep, ni, eos, genres
@@ -211,6 +214,9 @@ class S2SEngine:
     """predict_s2s host wrapper (remix:2615-2698 contract)."""
 
     def __init__(self, params: Dict, cfg: MultitaskConfig, vocab: MusicVocab):
+        if cfg.dtype == "bfloat16":
+            from ..models.precision import cast_params_for_inference
+            params = cast_params_for_inference(params)
         self.params, self.cfg, self.vocab = params, cfg, vocab
         self.tables = build_tables(vocab, "twotemp")
 
@@ -317,6 +323,9 @@ class NWEngine:
     """predict_nw host wrapper (remix:2491-2561 contract)."""
 
     def __init__(self, params: Dict, cfg: MultitaskConfig, vocab: MusicVocab):
+        if cfg.dtype == "bfloat16":
+            from ..models.precision import cast_params_for_inference
+            params = cast_params_for_inference(params)
         self.params, self.cfg, self.vocab = params, cfg, vocab
         self.tables = build_tables(vocab, "twotemp")
 

@@ -1,0 +1,242 @@
+"""Fused single-token decoder-stack Pallas kernel.
+
+Single-stream decode is dominated by per-fusion overhead: one token step of
+the 41M TXL lowers to ~80 XLA fusions (~250µs/step). This kernel runs the
+ENTIRE layer stack in ONE ``pallas_call``: the grid iterates layers
+sequentially (TPU grids execute in order), per-layer weights stream from HBM
+into VMEM via the BlockSpec pipeline (double-buffered, so weight DMA overlaps
+compute), and the hidden state is carried across grid steps in a VMEM
+scratch.
+
+All attention math is expressed as 2-D, lane-aligned ops: the K cache is
+stored transposed ``(L, 1, H, Dh, M)`` so per-head content scores are one
+``(1, Dh) @ (Dh, M)`` MXU matvec with the M axis on lanes; the V cache stays
+``(L, 1, H, M, Dh)`` so the probability-weighted sum is ``(1, M) @ (M, Dh)``.
+The relative-position term uses the ring rotation identity from
+`models.txl.decode_step_ring` via ``pltpu.roll``.
+
+Restricted to batch = 1 and bias-free attention (the genre flagship config);
+mathematically identical to `decode_step_ring` (tested).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+class StackedTXL(NamedTuple):
+    """Per-layer weights stacked on a leading layer axis (bf16)."""
+    qkv_w: jnp.ndarray   # (L, D, 3*H*Dh)
+    out_w: jnp.ndarray   # (L, H*Dh, D)
+    ff1_w: jnp.ndarray   # (L, D, Dff)
+    ff1_b: jnp.ndarray   # (L, 1, Dff)
+    ff2_w: jnp.ndarray   # (L, Dff, D)
+    ff2_b: jnp.ndarray   # (L, 1, D)
+    ln1_g: jnp.ndarray   # (L, 1, D) fp32
+    ln1_b: jnp.ndarray
+    ln2_g: jnp.ndarray
+    ln2_b: jnp.ndarray
+    u: jnp.ndarray       # (1, H*Dh)
+    v: jnp.ndarray       # (1, H*Dh)
+
+
+def stack_txl_layers(params: Dict, dtype=jnp.bfloat16) -> StackedTXL:
+    ls = params["layers"]
+    st = lambda k, dt: jnp.stack([lp[k].astype(dt) for lp in ls])
+    return StackedTXL(
+        qkv_w=st("qkv_w", dtype),
+        out_w=st("out_w", dtype),
+        ff1_w=st("ff1_w", dtype),
+        ff1_b=st("ff1_b", dtype)[:, None, :],
+        ff2_w=st("ff2_w", dtype),
+        ff2_b=st("ff2_b", dtype)[:, None, :],
+        ln1_g=st("ln1_g", jnp.float32)[:, None, :],
+        ln1_b=st("ln1_b", jnp.float32)[:, None, :],
+        ln2_g=st("ln2_g", jnp.float32)[:, None, :],
+        ln2_b=st("ln2_b", jnp.float32)[:, None, :],
+        u=params["u"].astype(dtype).reshape(1, -1),
+        v=params["v"].astype(dtype).reshape(1, -1),
+    )
+
+
+def _ln(x32, g, b, eps=1e-5):
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    return (x32 - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _make_kernel(cfg, M: int):
+    H, Dh, D, Dff = cfg.n_heads, cfg.d_head, cfg.d_model, cfg.d_inner
+    HD = H * Dh
+    scale = 1.0 / math.sqrt(Dh) if cfg.scale else 1.0
+    act = cfg.act
+
+    def kernel(ptr_ref,                       # SMEM (1, 1)
+               qkv_w, out_w, ff1_w, ff1_b, ff2_w, ff2_b,
+               ln1_g, ln1_b, ln2_g, ln2_b,
+               wkr_t,                          # (1, H, Dh, M+1) transposed
+               u_ref, v_ref,                   # (1, H*Dh)
+               kt, vc,                         # (1,1,H,Dh,M) / (1,1,H,M,Dh)
+               h_in,                           # (8, D), row 0 live
+               blocked,                        # (1, M) int32
+               h_out, kv_out,                  # (8, D) fp32, (L, 2*HD) fp32
+               h_scr, attn_scr, ac_scr, sd_scr, self_scr,  # VMEM scratch
+               ):
+        li = pl.program_id(0)
+        nl = pl.num_programs(0)
+        p = ptr_ref[0, 0]
+
+        @pl.when(li == 0)
+        def _init():
+            h_scr[:, :] = h_in[:, :].astype(jnp.float32)
+
+        h32 = h_scr[:, :]
+        hb = h32.astype(qkv_w.dtype)
+        qkv = jnp.dot(hb, qkv_w[0], preferred_element_type=jnp.float32)  # (8, 3HD)
+        qrow = qkv[0:1]                                # (1, 3HD)
+        qu_all = (qrow[:, 0:HD].astype(qkv_w.dtype) + u_ref[:, :])
+        qv_all = (qrow[:, 0:HD].astype(qkv_w.dtype) + v_ref[:, :])
+        k1_all = qrow[:, HD:2 * HD]
+        v1_all = qrow[:, 2 * HD:3 * HD]
+        blk = (blocked[:, :] != 0)
+        # export this layer's new K/V for the ring-slot update (done outside
+        # the kernel: Mosaic cannot store to a dynamic lane column)
+        kv_out[pl.ds(li, 1), 0:HD] = k1_all
+        kv_out[pl.ds(li, 1), HD:2 * HD] = v1_all
+
+        # --- head-batched score assembly (one roll/softmax per layer) ---
+        for h in range(H):
+            sl = slice(h * Dh, (h + 1) * Dh)
+            ac_h = jnp.dot(qu_all[:, sl], kt[0, 0, h],
+                           preferred_element_type=jnp.float32)          # (1, M)
+            sd_h = jnp.dot(qv_all[:, sl], wkr_t[0, h],
+                           preferred_element_type=jnp.float32)          # (1, M+1)
+            ac_scr[pl.ds(h, 1), :] = ac_h
+            sd_scr[pl.ds(h, 1), :] = sd_h
+            qk_h = jnp.sum(qu_all[:, sl].astype(jnp.float32) * k1_all[:, sl],
+                           axis=-1, keepdims=True)                      # (1, 1)
+            self_scr[pl.ds(h, 1), 0:1] = qk_h
+
+        ac = ac_scr[0:H, :]                              # (H, M)
+        sd = sd_scr[0:H, :]                              # (H, M+1)
+        bd = pltpu.roll(sd[:, :M], p, 1)
+        score = (ac + bd) * scale
+        score = jnp.where(blk, NEG_INF, score)           # blk (1, M) broadcasts
+        self_score = (self_scr[0:H, 0:1] + sd[:, M:M + 1]) * scale  # (H, 1)
+        m = jnp.maximum(jnp.max(score, axis=-1, keepdims=True), self_score)
+        e = jnp.exp(score - m)                           # (H, M)
+        e_self = jnp.exp(self_score - m)                 # (H, 1)
+        denom = jnp.sum(e, axis=-1, keepdims=True) + e_self
+        for h in range(H):
+            sl = slice(h * Dh, (h + 1) * Dh)
+            pv = jnp.dot(e[h:h + 1, :].astype(vc.dtype), vc[0, 0, h],
+                         preferred_element_type=jnp.float32)            # (1, Dh)
+            attn_scr[0:1, sl] = (pv + e_self[h, 0] * v1_all[:, sl]) / denom[h, 0]
+
+        attn_flat = attn_scr[0:1, :].astype(hb.dtype)
+        out = jnp.dot(attn_flat, out_w[0], preferred_element_type=jnp.float32)
+        h1 = _ln(h32[0:1] + out, ln1_g[0], ln1_b[0])
+
+        ffx = jnp.dot(h1.astype(hb.dtype), ff1_w[0], preferred_element_type=jnp.float32)
+        ffx = ffx + ff1_b[0].astype(jnp.float32)
+        if act == "gelu":
+            # tanh-approximate GELU (Mosaic lacks erf); max deviation from the
+            # exact erf form is ~1e-3·|x|, covered by the parity-test tolerance
+            c = math.sqrt(2.0 / math.pi)
+            ffx = 0.5 * ffx * (1.0 + jnp.tanh(c * (ffx + 0.044715 * ffx ** 3)))
+        else:
+            ffx = jnp.maximum(ffx, 0.0)
+        ffy = jnp.dot(ffx.astype(hb.dtype), ff2_w[0], preferred_element_type=jnp.float32)
+        ffy = ffy + ff2_b[0].astype(jnp.float32)
+        h2 = _ln(h1 + ffy, ln2_g[0], ln2_b[0])
+        h_scr[0:1, :] = h2
+
+        @pl.when(li == nl - 1)
+        def _finish():
+            h_out[:, :] = h_scr[:, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mem_len"))
+def fused_stack_decode(
+    stacked: StackedTXL,
+    cfg,
+    h_in: jnp.ndarray,      # (8, D) fp32 — embedded token in row 0
+    wkr_t: jnp.ndarray,     # (L, H, Dh, M+1)
+    kt: jnp.ndarray,        # (L, 1, H, Dh, M) transposed K cache
+    vc: jnp.ndarray,        # (L, 1, H, M, Dh)
+    blocked: jnp.ndarray,   # (1, M) int32
+    ptr: jnp.ndarray,       # () or (1,) int32
+    mem_len: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    L, D, Dff = cfg.n_layers, cfg.d_model, cfg.d_inner
+    H, Dh, M = cfg.n_heads, cfg.d_head, mem_len
+    HD = H * Dh
+
+    lspec = lambda shape: pl.BlockSpec(
+        (1, *shape), lambda i: (i, *([0] * len(shape))), memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    kt_spec = lambda: pl.BlockSpec((1, 1, H, Dh, M), lambda i: (i, 0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    vc_spec = lambda: pl.BlockSpec((1, 1, H, M, Dh), lambda i: (i, 0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+
+    kernel = _make_kernel(cfg, M)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            lspec((D, 3 * HD)), lspec((HD, D)),
+            lspec((D, Dff)), lspec((1, Dff)),
+            lspec((Dff, D)), lspec((1, D)),
+            lspec((1, D)), lspec((1, D)), lspec((1, D)), lspec((1, D)),
+            lspec((H, Dh, M + 1)),
+            full(), full(),
+            kt_spec(), vc_spec(),
+            full(),   # h_in
+            full(),   # blocked
+        ],
+        out_specs=[
+            pl.BlockSpec((8, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 2 * HD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, D), jnp.float32),
+                        pltpu.VMEM((8, HD), jnp.float32),
+                        pltpu.VMEM((16, M), jnp.float32),
+                        pltpu.VMEM((16, M + 1), jnp.float32),
+                        pltpu.VMEM((16, 128), jnp.float32)],
+    )
+    ptr2 = jnp.reshape(ptr, ())
+    h_out, kv_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, D), jnp.float32),
+            jax.ShapeDtypeStruct((L, 2 * HD), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(jnp.reshape(ptr, (1, 1)),
+      stacked.qkv_w, stacked.out_w, stacked.ff1_w, stacked.ff1_b,
+      stacked.ff2_w, stacked.ff2_b,
+      stacked.ln1_g, stacked.ln1_b, stacked.ln2_g, stacked.ln2_b,
+      wkr_t, stacked.u, stacked.v, kt, vc, h_in,
+      blocked)
+    # ring-slot updates (in-place dynamic_update_slice on the carried caches)
+    k_new = kv_new[:, :HD].reshape(L, 1, H, Dh, 1).astype(kt.dtype)
+    v_new = kv_new[:, HD:].reshape(L, 1, H, 1, Dh).astype(vc.dtype)
+    kt2 = jax.lax.dynamic_update_slice(kt, k_new, (0, 0, 0, 0, ptr2))
+    vc2 = jax.lax.dynamic_update_slice(vc, v_new, (0, 0, 0, ptr2, 0))
+    return h_out, kt2, vc2
