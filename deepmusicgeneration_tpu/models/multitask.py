@@ -174,8 +174,11 @@ def _ff(bp, cfg: MultitaskConfig, h):
     return _layer_norm(h + y, bp["ff_ln_g"], bp["ff_ln_b"])
 
 
-def _causal_mask(L: int) -> jnp.ndarray:
-    m = jnp.triu(jnp.ones((L, L), bool), k=1)
+def _causal_mask(L: int, win_size: int = 1, win_k: int = 1) -> jnp.ndarray:
+    """Block-causal window mask (rand_window_mask semantics, remix:1753-1770)."""
+    rows = jnp.arange(L)[:, None] // win_size
+    cols = jnp.arange(L)[None, :] // win_size
+    m = cols >= rows + win_k
     m = m.at[:, 0].set(False)
     return m[None, None]
 
@@ -188,9 +191,12 @@ def stack_forward(
     enc_out: Optional[jnp.ndarray] = None,   # (B, Le, D) for cross-attention
     self_mask: Optional[jnp.ndarray] = None,
     pad_cols: Optional[jnp.ndarray] = None,  # (B, L) True where padded
+    win_size: int = 1,
+    win_k: int = 1,
 ) -> jnp.ndarray:
     """MTEncoder.forward (remix:1985-2003): all blocks share u/v and one r
-    table over max(L, Le) + mem_len positions."""
+    table over max(L, Le) + mem_len positions. ``win_size``/``win_k`` select
+    the training-time random window mask (MTTrainer curriculum)."""
     B, L, D = h.shape
     dt = h.dtype
     r_len = max(L, enc_out.shape[1] if enc_out is not None else 0) + cfg.mem_len
@@ -198,7 +204,7 @@ def stack_forward(
     u, v = stack["u"].astype(dt), stack["v"].astype(dt)
 
     if self_mask is None:
-        self_mask = _causal_mask(L) if is_decoder else None
+        self_mask = _causal_mask(L, win_size, win_k) if is_decoder else None
     if pad_cols is not None:
         pc = pad_cols[:, None, None, :]
         self_mask = pc if self_mask is None else (self_mask | pc)
@@ -224,6 +230,8 @@ def forward(
     cfg: MultitaskConfig,
     inp: Dict[str, Dict[str, jnp.ndarray]],
     pad_idx: int = 1,
+    win_size: int = 1,
+    win_k: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Route task dict → logits dict (MultiTransformer.forward)."""
     out = {}
@@ -235,7 +243,8 @@ def forward(
     if "lm" in inp and inp["lm"] is not None:
         d = inp["lm"]
         h = embed_tokens(params, cfg, d["x"], d.get("pos"), pad_idx)
-        h = stack_forward(params["decoder"], cfg, h, is_decoder=True)
+        h = stack_forward(params["decoder"], cfg, h, is_decoder=True,
+                          win_size=win_size, win_k=win_k)
         out["lm"] = head(params, cfg, h)
     for key in ("s2f", "f2s", "c2m", "m2c"):
         if key in inp and inp[key] is not None:
@@ -245,7 +254,8 @@ def forward(
                                pad_cols=d.get("enc_pad"))
             dh = embed_tokens(params, cfg, d["dec"], d.get("dec_pos"), pad_idx)
             dh = stack_forward(params["decoder"], cfg, dh, is_decoder=True,
-                               enc_out=eh, pad_cols=d.get("dec_pad"))
+                               enc_out=eh, pad_cols=d.get("dec_pad"),
+                               win_size=win_size, win_k=win_k)
             out[key] = head(params, cfg, dh)
     return out
 

@@ -10,6 +10,7 @@ when more than one device is available.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from dataclasses import dataclass, field
@@ -300,22 +301,30 @@ class MultitaskLearner:
 
     # -- training -----------------------------------------------------------
     def fit(self, batches, epochs: int = 1, lr: float = 5e-4, clip: float = 0.5,
-            log_fn: Callable[[str], None] = print, seed: int = 0) -> FitResult:
-        """Train on an iterable of (x_dict, y_dict) multitask batches.
+            log_fn: Callable[[str], None] = print, seed: int = 0,
+            dataloaders=None, starting_mask_window: int = 1) -> FitResult:
+        """Train on (x_dict, y_dict) multitask batches.
 
-        ``batches`` may be a list or a loader; it is re-iterated per epoch.
+        MTTrainer semantics (deep_music_remix.py:2782-2799): per epoch, the
+        decoder's random-window curriculum grows
+        (``mask_steps = max(epoch + starting_mask_window, 100)``) and, when
+        ``dataloaders`` is given, training rotates between them (task
+        scheduling). ``batches`` may be a list or a loader.
         """
-        sample = batches if isinstance(batches, list) else list(batches)
-        total_steps = len(sample) * epochs
-        optimizer = make_optimizer(total_steps, peak_lr=lr, clip=clip)
+        loaders = dataloaders if dataloaders is not None else [
+            batches if isinstance(batches, list) else list(batches)]
+        total_steps = sum(len(l) for l in loaders) // max(len(loaders), 1) * epochs
+        optimizer = make_optimizer(max(total_steps, 1), peak_lr=lr, clip=clip)
         opt_state = optimizer.init(self.params)
         pad_idx = self.vocab.pad_idx
         cfg = self.cfg
+        host_rng = np.random.default_rng(seed)
 
-        @jax.jit
-        def step(params, opt_state, xd, yd):
+        @functools.partial(jax.jit, static_argnames=("win_size", "win_k"))
+        def step(params, opt_state, xd, yd, win_size=1, win_k=1):
             def loss_fn(p):
-                out = mt.forward(p, cfg, xd, pad_idx=pad_idx)
+                out = mt.forward(p, cfg, xd, pad_idx=pad_idx,
+                                 win_size=win_size, win_k=win_k)
                 return multi_loss(out, yd, pad_idx)
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state2 = optimizer.update(grads, opt_state, params)
@@ -327,12 +336,21 @@ class MultitaskLearner:
         for epoch in range(epochs):
             t0 = time.time()
             tot, n = 0.0, 0
-            for xd, yd in sample:
+            # curriculum: window cap grows with epoch (MTTrainer:2794)
+            mask_steps = max(epoch + starting_mask_window, 1)
+            loader = loaders[epoch % len(loaders)]
+            for xd, yd in loader:
+                # rand_window_mask: active with p=mask_p, window ≤ mask_steps
+                if host_rng.random() < cfg.mask_p and mask_steps > 1:
+                    win, wk = int(host_rng.integers(1, mask_steps + 1)), 0
+                else:
+                    win, wk = 1, 1
                 jx = jax.tree_util.tree_map(
                     lambda a: jnp.asarray(a) if a is not None else None, xd,
                     is_leaf=lambda a: a is None or isinstance(a, np.ndarray))
                 jy = {k: jnp.asarray(v) for k, v in yd.items()}
-                params, opt_state, loss, metrics = step(params, opt_state, jx, jy)
+                params, opt_state, loss, metrics = step(params, opt_state, jx, jy,
+                                                        win_size=win, win_k=wk)
                 tot += float(loss)
                 n += 1
             entry = {"epoch": epoch, "train_loss": tot / max(n, 1),
