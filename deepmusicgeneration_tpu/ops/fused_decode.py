@@ -168,7 +168,7 @@ def _make_kernel(cfg, M: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mem_len"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mem_len", "interpret"))
 def fused_stack_decode(
     stacked: StackedTXL,
     cfg,
@@ -179,6 +179,7 @@ def fused_stack_decode(
     blocked: jnp.ndarray,   # (1, M) int32
     ptr: jnp.ndarray,       # () or (1,) int32
     mem_len: int,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     L, D, Dff = cfg.n_layers, cfg.d_model, cfg.d_inner
     H, Dh, M = cfg.n_heads, cfg.d_head, mem_len
@@ -226,8 +227,10 @@ def fused_stack_decode(
             jax.ShapeDtypeStruct((8, D), jnp.float32),
             jax.ShapeDtypeStruct((L, 2 * HD), jnp.float32),
         ],
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(jnp.reshape(ptr, (1, 1)),
       stacked.qkv_w, stacked.out_w, stacked.ff1_w, stacked.ff1_b,
       stacked.ff2_w, stacked.ff2_b,

@@ -1,0 +1,70 @@
+"""Fused Pallas decoder-stack kernel vs the reference XLA ring decode.
+
+Runs in Pallas interpreter mode on the CPU test backend; on TPU hardware the
+same kernel compiles natively (exercised by the decode bench). GELU inside
+the kernel is the tanh approximation (Mosaic lacks erf), so logits are
+compared with a correspondingly loose tolerance; K/V cache updates (no
+activation involved) must match to bf16 resolution.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepmusicgeneration_tpu.models import txl
+from deepmusicgeneration_tpu.models.config import TXLConfig
+from deepmusicgeneration_tpu.ops.fused_decode import fused_stack_decode, stack_txl_layers
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # bf16 activations to mirror the production configuration; small dims
+    cfg = TXLConfig(vocab_size=324, n_layers=2, d_model=128, d_inner=256,
+                    n_heads=2, d_head=64, ctx_len=128, mem_len=128,
+                    dtype="bfloat16", bias=False)
+    params = txl.init_txl(jax.random.PRNGKey(0), cfg)
+    from deepmusicgeneration_tpu.models.precision import cast_params_for_inference
+    params = cast_params_for_inference(params)
+    return cfg, params
+
+
+def test_fused_kernel_matches_ring(setup):
+    cfg, params = setup
+    M = cfg.mem_len
+    L, H, Dh = cfg.n_layers, cfg.n_heads, cfg.d_head
+    rng = np.random.default_rng(1)
+    k = jnp.asarray(rng.normal(scale=0.5, size=(L, 1, H, M, Dh)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(scale=0.5, size=(L, 1, H, M, Dh)), jnp.bfloat16)
+    g = jnp.asarray((np.arange(M) - M)[None], jnp.int32)
+    ptr = jnp.asarray(5, jnp.int32)
+    cache = txl.RingKVCache(k=k, v=v, g=g, ptr=ptr, g_cur=jnp.asarray(5, jnp.int32))
+    wkr = txl.precompute_wkr(params, cfg, M)
+
+    tok = jnp.asarray([100], jnp.int32)
+    ref_logits, ref_cache = txl.decode_step_ring(
+        params, cfg, tok, jnp.zeros((1,), jnp.int32), cache, wkr)
+
+    stacked = stack_txl_layers(params)
+    emb = params["embed"][tok].astype(jnp.float32)
+    h_in = jnp.zeros((8, cfg.d_model), jnp.float32).at[0].set(emb[0])
+    dist = cache.g_cur - cache.g
+    blocked = ((dist < 1) | (dist > M)).astype(jnp.int32)
+    kt = k.transpose(0, 1, 2, 4, 3)
+    wkr_t = wkr.transpose(0, 1, 3, 2)
+    h_out, kt2, vc2 = fused_stack_decode(stacked, cfg, h_in, wkr_t, kt, v,
+                                         blocked, ptr, M, interpret=True)
+    logits = h_out[0:1] @ params["embed"].T.astype(jnp.float32) + params["head_b"]
+
+    # tanh-GELU + bf16 round-off: logits close but not bit-equal
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=0.08, rtol=0.02)
+    # greedy choice must agree
+    assert int(jnp.argmax(logits)) == int(jnp.argmax(ref_logits))
+    # cache slot updates bit-compatible at bf16 resolution
+    np.testing.assert_allclose(
+        np.asarray(kt2.transpose(0, 1, 2, 4, 3).astype(jnp.float32)),
+        np.asarray(ref_cache.k.astype(jnp.float32)), atol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(vc2.astype(jnp.float32)),
+        np.asarray(ref_cache.v.astype(jnp.float32)), atol=0.05)
