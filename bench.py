@@ -71,6 +71,42 @@ def run_decode_bench(n_words: int, warmup_words: int = 32, batch: int = 1):
     return tps, dt
 
 
+def run_multitask_bench():
+    """Configs 3+4: BERT mask infill and s2s harmonization throughput."""
+    import jax
+    import numpy as np
+    from deepmusicgeneration_tpu.codec.item import MusicItem
+    from deepmusicgeneration_tpu.models import multitask as mt
+    from deepmusicgeneration_tpu.models.config import multitask_config
+    from deepmusicgeneration_tpu.train.learner import MultitaskLearner
+    from deepmusicgeneration_tpu.vocab import MusicVocab
+
+    vocab = MusicVocab.create()
+    learner = MultitaskLearner(multitask_config(len(vocab)), vocab,
+                               rng=jax.random.PRNGKey(0))
+    item = MusicItem.from_file("/root/reference/Never_Gonna_Let_You_Go.mid",
+                               vocab).trim_to_beat(48).remove_eos()
+    masked = item.mask_pitch()
+    n_masks = int((masked.data == vocab.mask_idx).sum())
+    learner.predict_mask(masked, seed=0)  # compile
+    t0 = time.time()
+    learner.predict_mask(masked, seed=1)
+    mask_dt = time.time() - t0
+    log(f"mask infill: {n_masks} masks over {len(masked)} tokens in {mask_dt:.2f}s "
+        f"→ {n_masks/mask_dt:.1f} infills/s (85M encoder per mask)")
+
+    from deepmusicgeneration_tpu.tasks.harmonize import s2s_predict_from_midi
+    t0 = time.time()
+    s2s_predict_from_midi(learner, "/root/reference/Never_Gonna_Let_You_Go.mid",
+                          n_words=128, seed_len=16, seed=0)  # compile+run
+    t0 = time.time()
+    s2s_predict_from_midi(learner, "/root/reference/Never_Gonna_Let_You_Go.mid",
+                          n_words=128, seed_len=16, seed=1)
+    s2s_dt = time.time() - t0
+    log(f"s2s harmonize: 128 tokens in {s2s_dt:.2f}s → {128/s2s_dt:.1f} tok/s")
+    return n_masks / mask_dt, 128 / s2s_dt
+
+
 def cpu_baseline() -> float:
     if os.path.exists(CACHE_PATH):
         try:
@@ -138,6 +174,14 @@ def main():
     log(f"backend: {platform} ({jax.devices()})")
     tps, dt = run_decode_bench(N_WORDS)
     batch_tps, files_per_sec = (run_batched_bench() if platform != "cpu" else (0, 0))
+    if platform != "cpu":
+        try:
+            mask_rate, s2s_tps = run_multitask_bench()
+        except Exception as e:
+            log("multitask bench failed:", e)
+            mask_rate, s2s_tps = 0.0, 0.0
+    else:
+        mask_rate, s2s_tps = 0.0, 0.0
     base = cpu_baseline() if platform != "cpu" else tps
     vs = tps / base if base > 0 else 0.0
     result = {
@@ -152,6 +196,8 @@ def main():
             "cpu_baseline_tps": round(base, 2),
             "batch64_tokens_per_sec": round(batch_tps, 1),
             "midi_files_encoded_per_sec": round(files_per_sec, 2),
+            "mask_infills_per_sec_85m": round(mask_rate, 1),
+            "s2s_decode_tokens_per_sec_85m": round(s2s_tps, 1),
             "backend": platform,
         },
     }

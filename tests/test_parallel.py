@@ -96,3 +96,21 @@ def test_batched_generation_dp_sharded(vocab):
     toks, lengths = engine.generate_batch(seeds, n_words=16, seed=1)
     assert toks.shape == (8, 16)
     assert (lengths > 0).all()
+
+
+def test_multihost_helpers_single_host():
+    from deepmusicgeneration_tpu.parallel.multihost import initialize, global_mesh, is_primary
+    initialize()  # no-op on single host
+    mesh = global_mesh(tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    assert is_primary()
+
+
+def test_device_prefetch(vocab):
+    import numpy as np
+    from deepmusicgeneration_tpu.train.prefetch import device_prefetch
+    batches = [{"x": np.ones((2, 4), np.int32) * i, "pos": None} for i in range(5)]
+    out = list(device_prefetch(iter(batches), depth=2))
+    assert len(out) == 5
+    assert float(out[3]["x"][0, 0]) == 3.0
+    assert "pos" not in out[0]
