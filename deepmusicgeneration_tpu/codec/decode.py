@@ -111,3 +111,50 @@ def shorten_chordarr_rests(arr: np.ndarray, max_rests: int = 8, sample_freq: int
 
 def compress_chordarr(chordarr: np.ndarray) -> np.ndarray:
     return shorten_chordarr_rests(trim_chordarr_rests(chordarr))
+
+
+def separate_melody_chord(chordarr: np.ndarray) -> np.ndarray:
+    """Split each lane into melody vs chord lanes (encodings.py:412-430).
+
+    The reference's music21 version puts single Notes in one part and Chords
+    in another; here a timestep with one onset in a lane is melody, with
+    several onsets it is a chord. Returns a roll with 2× the lanes:
+    [melody_0, chord_0, melody_1, chord_1, ...].
+    """
+    chordarr = np.asarray(chordarr)
+    T, I, P = chordarr.shape
+    out = np.zeros((T, 2 * I, P))
+    onsets = chordarr > 0
+    n_onsets = onsets.sum(axis=2)  # (T, I)
+    for i in range(I):
+        mono = n_onsets[:, i] == 1
+        poly = n_onsets[:, i] > 1
+        out[mono, 2 * i] = chordarr[mono, i]
+        out[poly, 2 * i + 1] = chordarr[poly, i]
+        # continuation markers follow their onset lane
+        cont = chordarr[:, i] < 0
+        out[:, 2 * i][cont & (out[:, 2 * i] == 0)] = np.where(
+            cont, chordarr[:, i], 0)[cont & (out[:, 2 * i] == 0)]
+    return out
+
+
+def chordarr_combine_parts(parts) -> np.ndarray:
+    """Concatenate per-part rolls on the lane axis (encodings.py:483-487)."""
+    max_ts = max(p.shape[0] for p in parts)
+    padded = [pad_part_to(p, max_ts) for p in parts]
+    return np.concatenate(padded, axis=1)
+
+
+def pad_part_to(p: np.ndarray, target_size: int) -> np.ndarray:
+    """Zero-pad a roll to ``target_size`` timesteps (encodings.py:489-491)."""
+    return np.pad(p, ((0, target_size - p.shape[0]), (0, 0), (0, 0)), "constant")
+
+
+def stream2npenc_parts(chordarr: np.ndarray, sort_pitch: bool = True):
+    """Per-part npencs, highest average pitch first (encodings.py:477-481)."""
+    from .encode import avg_pitch, part_enc
+    parts = [part_enc(chordarr, i) for i in range(chordarr.shape[1])]
+    parts = [p for p in parts if len(p)]
+    if sort_pitch:
+        parts = sorted(parts, key=avg_pitch, reverse=True)
+    return parts

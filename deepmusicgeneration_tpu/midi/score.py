@@ -223,6 +223,12 @@ def load_score(path_or_bytes, quantize: bool = True) -> Score:
     return midifile_to_score(mf, quantize)
 
 
+def num_piano_tracks(path_or_bytes) -> int:
+    """Count keyboard-class note parts (encodings.py:105-108 equivalent)."""
+    score = load_score(path_or_bytes)
+    return sum(1 for p in score.parts if p.ins_class == "Piano" and len(p.notes))
+
+
 def is_empty_midi(path_or_bytes) -> bool:
     """True when the file has no note events (encodings.py:100-103)."""
     if path_or_bytes is None:

@@ -211,3 +211,41 @@ def test_temp_slots(vocab):
 def test_npenc_len():
     npenc = np.array([[60, 2, 0], [VALTSEP, 3, SEP_INS_VAL], [62, 2, 0]])
     assert npenc_len(npenc) == 4
+
+
+def test_separate_melody_chord():
+    from deepmusicgeneration_tpu.codec.decode import separate_melody_chord
+    ch = np.zeros((4, 1, 128))
+    ch[0, 0, 60] = 2                      # single note → melody
+    ch[2, 0, 60] = 1
+    ch[2, 0, 64] = 1                      # two onsets → chord
+    out = separate_melody_chord(ch)
+    assert out.shape == (4, 2, 128)
+    assert out[0, 0, 60] == 2 and out[0, 1, 60] == 0
+    assert out[2, 1, 60] == 1 and out[2, 1, 64] == 1 and out[2, 0, 60] == 0
+
+
+def test_combine_parts_and_pad():
+    from deepmusicgeneration_tpu.codec.decode import chordarr_combine_parts, pad_part_to
+    a = np.zeros((3, 1, 128)); a[0, 0, 60] = 1
+    b = np.zeros((5, 1, 128)); b[4, 0, 70] = 2
+    comb = chordarr_combine_parts([a, b])
+    assert comb.shape == (5, 2, 128)
+    assert comb[0, 0, 60] == 1 and comb[4, 1, 70] == 2
+    assert pad_part_to(a, 7).shape == (7, 1, 128)
+
+
+def test_stream2npenc_parts_sorted_by_pitch():
+    from deepmusicgeneration_tpu.codec.decode import stream2npenc_parts
+    ch = np.zeros((4, 2, 128))
+    ch[0, 0, 40] = 1   # low part
+    ch[0, 1, 90] = 1   # high part
+    parts = stream2npenc_parts(ch)
+    assert len(parts) == 2
+    assert parts[0][0, 0] == 90  # highest average pitch first
+
+
+def test_num_piano_tracks():
+    from deepmusicgeneration_tpu.midi.score import num_piano_tracks
+    assert num_piano_tracks("/root/reference/fur_elise.mid") == 1
+    assert num_piano_tracks("/root/reference/Undertale_-_Megalovania.mid") == 2
