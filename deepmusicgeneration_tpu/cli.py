@@ -14,6 +14,10 @@ import argparse
 import os
 import sys
 
+from .utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
+
 
 def cmd_generate(args):
     from .app.app_utils import createGenreContinuationModel, predictNwGenreModel
