@@ -109,3 +109,23 @@ def test_beam_search(engine, seed_idx, vocab):
     out2 = beam_search(engine.params, engine.cfg, vocab, seed_idx,
                        n_words=12, top_k=5, beam_sz=4, seed=0)
     np.testing.assert_array_equal(out, out2)
+
+
+def test_generate_from_empty_seed(engine, vocab):
+    """MusicItem.empty → 2-token [bos, pad] prompt must generate fine
+    (predict_from_midi's empty-MIDI fallback, genre:1975-1982)."""
+    from deepmusicgeneration_tpu.codec.item import MusicItem
+    item = MusicItem.empty(vocab)
+    out = engine.generate(item.data, n_words=24, seed=2)
+    assert len(out) > 0
+    check_grammar(out, vocab, prev0=int(item.data[-1]))
+
+
+def test_generate_seed_longer_than_window(engine, vocab):
+    """Seeds beyond the context window are truncated to the last W tokens."""
+    rng = np.random.default_rng(8)
+    long_npenc = random_npenc(rng, n_groups=200)
+    idx = npenc2idxenc(long_npenc, vocab)[:-1]
+    assert len(idx) > engine.cfg.ctx_len
+    out = engine.generate(idx, n_words=16, seed=3)
+    assert len(out) > 0
