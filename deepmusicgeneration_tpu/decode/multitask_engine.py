@@ -105,6 +105,44 @@ def _predict_mask_compiled(
     return x
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "top_k", "greedy"))
+def _predict_mask_parallel_compiled(
+    params: Dict,
+    cfg: MultitaskConfig,
+    x: jnp.ndarray, pos: jnp.ndarray, pad_cols: jnp.ndarray,   # (B, W)
+    tables: DecodeTables,
+    temperatures: jnp.ndarray, top_p: jnp.ndarray,
+    banned: jnp.ndarray,
+    rng: jax.Array,
+    top_k: int, greedy: bool,
+    mask_idx: int,
+):
+    """All masked positions filled from ONE bidirectional encoder pass.
+
+    The reference re-encodes the whole sequence per mask (O(masks×seq²));
+    this mode trades its fill-conditioning chain for a single forward —
+    exact for the common note/duration infill where masked slots never
+    neighbor each other (prev tokens are unmasked instrument/note tokens).
+    """
+    B, W = x.shape
+    h = mt.encode(params, cfg, x, pos, pad_cols=pad_cols)
+    logits = mt.head(params, cfg, h)                      # (B, W, V)
+    prev = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)  # (B, W)
+    slot = tables.temp_slot[prev]
+    temperature = temperatures[slot]                      # (B, W)
+    logits = logits / temperature[..., None]
+    logits = jnp.where(banned[None, None, :], FILTER_VALUE, logits)
+    cls = tables.prev_class[prev]
+    ok = tables.allowed[cls, jnp.zeros_like(cls)]         # (B, W, V)
+    logits = jnp.where(ok, logits, FILTER_VALUE)
+    logits = top_k_top_p(logits, top_k, top_p)
+    if greedy:
+        idx = jnp.argmax(logits, axis=-1).astype(x.dtype)
+    else:
+        idx = sample_categorical(rng, logits).astype(x.dtype)
+    return jnp.where(x == mask_idx, idx, x)
+
+
 class MaskEngine:
     """predict_mask host wrapper (remix:2563-2613 contract)."""
 
@@ -126,7 +164,12 @@ class MaskEngine:
     def predict_mask(self, masked_idxenc: np.ndarray,
                      position: Optional[np.ndarray] = None,
                      temperatures=(1.0, 1.0), top_k: int = 20, top_p: float = 0.8,
-                     greedy: bool = False, seed: int = 0) -> np.ndarray:
+                     greedy: bool = False, seed: int = 0,
+                     parallel: bool = False) -> np.ndarray:
+        """Fill xxmask holes. ``parallel=True`` fills every mask from ONE
+        encoder pass (vs the reference's sequential left-to-right loop) —
+        ~n_masks× faster, identical grammar guarantees for note/duration
+        infill; sequential mode remains the reference-faithful default."""
         from ..codec.index import position_enc
 
         x_all = np.asarray(masked_idxenc, dtype=np.int32)
@@ -144,17 +187,24 @@ class MaskEngine:
         pb[0, :len(x)] = pos[:len(x)]
         padc[0, :len(x)] = False
         mask_pos = np.nonzero(x == self.vocab.mask_idx)[0]
-        n_slots = _bucket(max(len(mask_pos), 1), buckets=(16, 32, 64, 128, 256, 512))
-        mp = np.full((1, n_slots), -1, np.int32)
-        mp[0, :len(mask_pos)] = mask_pos
         temps = np.asarray(
             (temperatures[0], temperatures[1], temperatures[1])
             if len(temperatures) == 2 else temperatures, np.float32)
-        out = _predict_mask_compiled(
-            self.params, self.cfg, jnp.asarray(xb), jnp.asarray(pb),
-            jnp.asarray(padc), jnp.asarray(mp), self.tables,
-            jnp.asarray(temps), jnp.asarray(np.float32(top_p)), self.banned,
-            jax.random.PRNGKey(seed), n_slots, top_k, greedy)
+        if parallel:
+            out = _predict_mask_parallel_compiled(
+                self.params, self.cfg, jnp.asarray(xb), jnp.asarray(pb),
+                jnp.asarray(padc), self.tables,
+                jnp.asarray(temps), jnp.asarray(np.float32(top_p)), self.banned,
+                jax.random.PRNGKey(seed), top_k, greedy, self.vocab.mask_idx)
+        else:
+            n_slots = _bucket(max(len(mask_pos), 1), buckets=(16, 32, 64, 128, 256, 512))
+            mp = np.full((1, n_slots), -1, np.int32)
+            mp[0, :len(mask_pos)] = mask_pos
+            out = _predict_mask_compiled(
+                self.params, self.cfg, jnp.asarray(xb), jnp.asarray(pb),
+                jnp.asarray(padc), jnp.asarray(mp), self.tables,
+                jnp.asarray(temps), jnp.asarray(np.float32(top_p)), self.banned,
+                jax.random.PRNGKey(seed), n_slots, top_k, greedy)
         filled = np.asarray(out)[0, :len(x)]
         if len(x_all) > len(x):
             return np.concatenate([filled, x_all[len(x):]])

@@ -179,3 +179,20 @@ def test_nw_engine_runs(small, vocab, seed_idx):
     assert len(out) > 0
     a = eng.predict_nw(seed_idx, n_words=24, seed=5)
     np.testing.assert_array_equal(out, a)
+
+
+def test_mask_engine_parallel_mode(small, vocab, seed_idx):
+    """One-pass infill fills every mask with grammatically valid tokens."""
+    cfg, params = small
+    eng = MaskEngine(params, cfg, vocab)
+    masked = seed_idx.copy()
+    note_pos = np.nonzero((masked >= vocab.note_range[0]) & (masked < vocab.note_range[1]))[0]
+    masked[note_pos[::2]] = vocab.mask_idx
+    out = eng.predict_mask(masked, seed=1, parallel=True)
+    assert len(out) == len(masked)
+    assert (out != vocab.mask_idx).all()
+    keep = np.ones(len(masked), bool)
+    keep[note_pos[::2]] = False
+    np.testing.assert_array_equal(out[keep], masked[keep])
+    filled = out[note_pos[::2]]
+    assert ((filled >= vocab.note_range[0]) & (filled < vocab.note_range[1])).all()
