@@ -243,3 +243,172 @@ def fused_stack_decode(
     kt2 = jax.lax.dynamic_update_slice(kt, k_new, (0, 0, 0, 0, ptr2))
     vc2 = jax.lax.dynamic_update_slice(vc, v_new, (0, 0, 0, ptr2, 0))
     return h_out, kt2, vc2
+
+
+# ---------------------------------------------------------------------------
+# Batched variant: grid = (layers, batch). Weight blocks are indexed by the
+# layer only, so they stay VMEM-resident across the whole batch sweep while
+# per-row KV cache blocks stream — each weight byte is read from HBM once per
+# token regardless of batch size, and every attention op is a lane-aligned
+# 2-D matmul (fixes the ~4%-of-HBM tiny-matvec lowering of the XLA path).
+# ---------------------------------------------------------------------------
+
+def _make_batched_kernel(cfg, M: int):
+    H, Dh, D, Dff = cfg.n_heads, cfg.d_head, cfg.d_model, cfg.d_inner
+    HD = H * Dh
+    scale = 1.0 / math.sqrt(Dh) if cfg.scale else 1.0
+    act = cfg.act
+
+    def kernel(ptr_ref,
+               qkv_w, out_w, ff1_w, ff1_b, ff2_w, ff2_b,
+               ln1_g, ln1_b, ln2_g, ln2_b,
+               wkr_t, u_ref, v_ref,
+               kt, vc,                          # per-(layer,row) blocks
+               h_in,                            # (B, D)
+               blocked,                         # (B, M) full block
+               h_out, kv_out,                   # (B, D), (L, B, 2HD)
+               h_scr, attn_scr, ac_scr, sd_scr, self_scr):
+        li = pl.program_id(0)
+        bi = pl.program_id(1)
+        nl = pl.num_programs(0)
+        p = ptr_ref[0, 0]
+
+        @pl.when(li == 0)
+        def _init():
+            h_scr[pl.ds(bi, 1), :] = h_in[pl.ds(bi, 1), :].astype(jnp.float32)
+
+        h32 = h_scr[pl.ds(bi, 1), :]                   # (1, D)
+        hb = h32.astype(qkv_w.dtype)
+        qkv = jnp.dot(hb, qkv_w[0], preferred_element_type=jnp.float32)  # (1, 3HD)
+        qu_all = (qkv[:, 0:HD].astype(qkv_w.dtype) + u_ref[:, :])
+        qv_all = (qkv[:, 0:HD].astype(qkv_w.dtype) + v_ref[:, :])
+        k1_all = qkv[:, HD:2 * HD]
+        v1_all = qkv[:, 2 * HD:3 * HD]
+        blk = (blocked[pl.ds(bi, 1), :] != 0)
+        kv_out[0, pl.ds(bi, 1), 0:HD] = k1_all
+        kv_out[0, pl.ds(bi, 1), HD:2 * HD] = v1_all
+
+        for h in range(H):
+            sl = slice(h * Dh, (h + 1) * Dh)
+            ac_h = jnp.dot(qu_all[:, sl], kt[0, 0, h],
+                           preferred_element_type=jnp.float32)
+            sd_h = jnp.dot(qv_all[:, sl], wkr_t[0, h],
+                           preferred_element_type=jnp.float32)
+            ac_scr[pl.ds(h, 1), :] = ac_h
+            sd_scr[pl.ds(h, 1), :] = sd_h
+            qk_h = jnp.sum(qu_all[:, sl].astype(jnp.float32) * k1_all[:, sl],
+                           axis=-1, keepdims=True)
+            self_scr[pl.ds(h, 1), 0:1] = qk_h
+
+        ac = ac_scr[0:H, :]
+        sd = sd_scr[0:H, :]
+        bd = pltpu.roll(sd[:, :M], p, 1)
+        score = (ac + bd) * scale
+        score = jnp.where(blk, NEG_INF, score)
+        self_score = (self_scr[0:H, 0:1] + sd[:, M:M + 1]) * scale
+        m = jnp.maximum(jnp.max(score, axis=-1, keepdims=True), self_score)
+        e = jnp.exp(score - m)
+        e_self = jnp.exp(self_score - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True) + e_self
+        for h in range(H):
+            sl = slice(h * Dh, (h + 1) * Dh)
+            pv = jnp.dot(e[h:h + 1, :].astype(vc.dtype), vc[0, 0, h],
+                         preferred_element_type=jnp.float32)
+            attn_scr[0:1, sl] = (pv + e_self[h, 0] * v1_all[:, sl]) / denom[h, 0]
+
+        attn_flat = attn_scr[0:1, :].astype(hb.dtype)
+        out = jnp.dot(attn_flat, out_w[0], preferred_element_type=jnp.float32)
+        h1 = _ln(h32 + out, ln1_g[0], ln1_b[0])
+        ffx = jnp.dot(h1.astype(hb.dtype), ff1_w[0], preferred_element_type=jnp.float32)
+        ffx = ffx + ff1_b[0].astype(jnp.float32)
+        if act == "gelu":
+            c = math.sqrt(2.0 / math.pi)
+            ffx = 0.5 * ffx * (1.0 + jnp.tanh(c * (ffx + 0.044715 * ffx ** 3)))
+        else:
+            ffx = jnp.maximum(ffx, 0.0)
+        ffy = jnp.dot(ffx.astype(hb.dtype), ff2_w[0], preferred_element_type=jnp.float32)
+        ffy = ffy + ff2_b[0].astype(jnp.float32)
+        h2 = _ln(h1 + ffy, ln2_g[0], ln2_b[0])
+        h_scr[pl.ds(bi, 1), :] = h2
+
+        @pl.when(li == nl - 1)
+        def _finish():
+            h_out[pl.ds(bi, 1), :] = h2
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mem_len", "interpret"))
+def fused_batched_decode(
+    stacked: StackedTXL,
+    cfg,
+    h_in: jnp.ndarray,      # (B, D) fp32 embedded tokens
+    wkr_t: jnp.ndarray,     # (L, H, Dh, M+1)
+    kt: jnp.ndarray,        # (L, B, H, Dh, M)
+    vc: jnp.ndarray,        # (L, B, H, M, Dh)
+    blocked: jnp.ndarray,   # (B, M) int32
+    ptr: jnp.ndarray,
+    mem_len: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    L, D, Dff = cfg.n_layers, cfg.d_model, cfg.d_inner
+    H, Dh, M = cfg.n_heads, cfg.d_head, mem_len
+    HD = H * Dh
+    B = h_in.shape[0]
+
+    lspec = lambda shape: pl.BlockSpec(
+        (1, *shape), lambda i, b: (i, *([0] * len(shape))), memory_space=pltpu.VMEM)
+    full2 = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = _make_batched_kernel(cfg, M)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(L, B),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, b: (0, 0), memory_space=pltpu.SMEM),
+            lspec((D, 3 * HD)), lspec((HD, D)),
+            lspec((D, Dff)), lspec((1, Dff)),
+            lspec((Dff, D)), lspec((1, D)),
+            lspec((1, D)), lspec((1, D)), lspec((1, D)), lspec((1, D)),
+            lspec((H, Dh, M + 1)),
+            full2(), full2(),
+            pl.BlockSpec((1, 1, H, Dh, M), lambda i, b: (i, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H, M, Dh), lambda i, b: (i, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full2(),
+            full2(),   # blocked (B, M), row-indexed inside the kernel
+        ],
+        out_specs=[
+            pl.BlockSpec((B, D), lambda i, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 2 * HD), lambda i, b: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32),
+                        pltpu.VMEM((8, HD), jnp.float32),
+                        pltpu.VMEM((16, M), jnp.float32),
+                        pltpu.VMEM((16, M + 1), jnp.float32),
+                        pltpu.VMEM((16, 128), jnp.float32)],
+    )
+    ptr2 = jnp.reshape(ptr, ())
+    h_out, kv_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, 2 * HD), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(jnp.reshape(ptr, (1, 1)),
+      stacked.qkv_w, stacked.out_w, stacked.ff1_w, stacked.ff1_b,
+      stacked.ff2_w, stacked.ff2_b,
+      stacked.ln1_g, stacked.ln1_b, stacked.ln2_g, stacked.ln2_b,
+      wkr_t, stacked.u, stacked.v, kt, vc, h_in, blocked)
+    k_new = kv_new[:, :, :HD].reshape(L, B, H, Dh, 1).astype(kt.dtype)
+    v_new = kv_new[:, :, HD:].reshape(L, B, H, 1, Dh).astype(vc.dtype)
+    kt2 = jax.lax.dynamic_update_slice(kt, k_new, (0, 0, 0, 0, ptr2))
+    vc2 = jax.lax.dynamic_update_slice(vc, v_new, (0, 0, 0, ptr2, 0))
+    return h_out, kt2, vc2

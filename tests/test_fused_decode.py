@@ -68,3 +68,37 @@ def test_fused_kernel_matches_ring(setup):
     np.testing.assert_allclose(
         np.asarray(vc2.astype(jnp.float32)),
         np.asarray(ref_cache.v.astype(jnp.float32)), atol=0.05)
+
+
+def test_batched_fused_kernel_matches_ring(setup):
+    from deepmusicgeneration_tpu.ops.fused_decode import fused_batched_decode
+    cfg, params = setup
+    M = cfg.mem_len
+    L, H, Dh = cfg.n_layers, cfg.n_heads, cfg.d_head
+    B = 4
+    rng = np.random.default_rng(2)
+    k = jnp.asarray(rng.normal(scale=0.5, size=(L, B, H, M, Dh)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(scale=0.5, size=(L, B, H, M, Dh)), jnp.bfloat16)
+    g = jnp.broadcast_to(jnp.asarray(np.arange(M) - M, jnp.int32)[None], (B, M))
+    cache = txl.RingKVCache(k=k, v=v, g=g, ptr=jnp.asarray(2, jnp.int32),
+                            g_cur=jnp.asarray(2, jnp.int32))
+    wkr = txl.precompute_wkr(params, cfg, M)
+    toks = jnp.asarray(rng.integers(12, 140, B), jnp.int32)
+    ref_logits, ref_cache = txl.decode_step_ring(
+        params, cfg, toks, jnp.zeros((B,), jnp.int32), cache, wkr)
+
+    stacked = stack_txl_layers(params)
+    h_in = params["embed"][toks].astype(jnp.float32)
+    dist = cache.g_cur - cache.g
+    blocked = ((dist < 1) | (dist > M)).astype(jnp.int32)
+    h_out, kt2, vc2 = fused_batched_decode(
+        stacked, cfg, h_in, wkr.transpose(0, 1, 3, 2),
+        k.transpose(0, 1, 2, 4, 3), v, blocked, cache.ptr, M, interpret=True)
+    logits = h_out @ params["embed"].T.astype(jnp.float32) + params["head_b"]
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=0.08, rtol=0.02)
+    assert (np.argmax(np.asarray(logits), -1)
+            == np.argmax(np.asarray(ref_logits), -1)).all()
+    np.testing.assert_allclose(
+        np.asarray(kt2.transpose(0, 1, 2, 4, 3).astype(jnp.float32)),
+        np.asarray(ref_cache.k.astype(jnp.float32)), atol=0.05)
