@@ -13,12 +13,7 @@ import os
 from functools import lru_cache
 from typing import List, Optional
 
-from ..models.config import (
-    MultitaskConfig,
-    TXLConfig,
-    btp_phase1_config,
-    multitask_config,
-)
+from ..models.config import TXLConfig, btp_phase1_config, multitask_config
 from ..tasks.generate import predict_nw_genre
 from ..tasks.remix import predict_mask_remix
 from ..train.learner import (

@@ -9,7 +9,7 @@ Python loops: a parsed score is converted to a dense ``chordarr`` piano roll
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

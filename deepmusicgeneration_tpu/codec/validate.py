@@ -6,8 +6,6 @@ count, duration cap, piano pitch range, and minimum distinct instruments.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from ..vocab import DUR_SIZE, PIANO_RANGE, VALTSEP, MusicVocab

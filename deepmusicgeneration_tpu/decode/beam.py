@@ -11,7 +11,7 @@ KV-cache reordering — runs inside one ``lax.scan``.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ predict_s2s (deep_music_remix.py:2491-2698), each as a single jitted program:
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,7 @@ from ..codec.grammar import allowed_ins_mask
 from ..models import multitask as mt
 from ..models.config import MultitaskConfig
 from ..ops.sampling import FILTER_VALUE, num_choices, sample_categorical, top_k_top_p
-from ..vocab import ACCEP_INS, SAMPLE_FREQ, MusicVocab
+from ..vocab import SAMPLE_FREQ, MusicVocab
 from .engine import DecodeTables, SampleState, SamplerSettings, build_tables, sample_next_token
 
 

@@ -17,13 +17,12 @@ mapping; divergences only affect exotic programs.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from fractions import Fraction
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..vocab import ACCEP_INS, ACCEP_INS_REV, MAX_NOTE_DUR, NOTE_SIZE, SAMPLE_FREQ, TIMESIG
-from .smf import MidiEvent, MidiFile, MidiTrack, parse_midi_bytes, parse_midi_file, render_midi_bytes, write_midi_file
+from ..vocab import ACCEP_INS, ACCEP_INS_REV, SAMPLE_FREQ
+from .smf import MidiEvent, MidiFile, MidiTrack, parse_midi_bytes, parse_midi_file
 
 # ---------------------------------------------------------------------------
 # GM program → reference instrument class (None = rejected part)

@@ -16,7 +16,7 @@ GSPMD inserts the all-reduces (over ICI) that DDP/NCCL performed explicitly.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

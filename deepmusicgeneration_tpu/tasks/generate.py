@@ -9,14 +9,11 @@ temperatures, write MIDI.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
-
-import numpy as np
+from typing import List, Optional
 
 from ..codec.item import MusicItem
 from ..midi.score import is_empty_midi
 from ..train.learner import MusicLearner
-from ..vocab import MusicVocab
 
 # UI instrument labels → ACCEP_INS class names (app_utils.py:128-137)
 UI_INS_MAP = {

@@ -14,7 +14,7 @@ import numpy as np
 
 from ..codec.item import MusicItem
 from ..train.learner import MultitaskLearner
-from ..vocab import MusicVocab, genre_prefix_token, BOS
+from ..vocab import genre_prefix_token, BOS
 
 
 def predict_mask_remix(

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
 
 def device_prefetch(batches: Iterable, depth: int = 2, sharding=None) -> Iterator:

@@ -15,14 +15,14 @@ import os
 import shutil
 from concurrent.futures import ProcessPoolExecutor, TimeoutError as FutTimeout
 from pathlib import Path
-from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+from typing import Iterable, List, Optional, Sequence
 
 import numpy as np
 
 from ..codec.item import MusicItem, score_to_npenc
 from ..codec.validate import check_valid_ins, is_valid_npenc
 from ..midi.score import load_score
-from ..vocab import ACCEP_INS, MusicVocab
+from ..vocab import MusicVocab
 
 
 def process_file(midi_path, out_dir, min_notes: int = 32) -> Optional[str]:
