@@ -54,10 +54,16 @@ def _worker(args):
 def process_all(midi_paths: Sequence, out_dir, timeout_s: float = 120.0,
                 max_workers: Optional[int] = None, min_notes: int = 32,
                 verbose: bool = False) -> List[str]:
-    """Tokenize a corpus in parallel with per-file timeouts (genre:1725-1739)."""
+    """Tokenize a corpus in parallel with per-file timeouts (genre:1725-1739).
+
+    Workers use the *spawn* start method: forking a process that already
+    initialised JAX/XLA threads deadlocks the children on inherited mutexes.
+    """
+    import multiprocessing
     results = []
     args = [(str(p), str(out_dir), min_notes) for p in midi_paths]
-    with ProcessPoolExecutor(max_workers=max_workers) as ex:
+    ctx = multiprocessing.get_context("spawn")
+    with ProcessPoolExecutor(max_workers=max_workers, mp_context=ctx) as ex:
         futures = {ex.submit(_worker, a): a[0] for a in args}
         for fut, path in futures.items():
             try:
