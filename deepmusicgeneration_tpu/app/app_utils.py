@@ -41,13 +41,30 @@ __all__ = [
 ]
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "manifest.json"))
+
+
+def _demo(name: str) -> str:
+    return os.path.join(_REPO_ROOT, "checkpoints", name)
+
+
 @lru_cache(maxsize=4)
 def createGenreContinuationModel(encode_position: bool = False,
                                  ckpt_path: str = "./checkpoints/lakh_genre_model"
                                  ) -> MusicLearner:
-    """Genre/continuation model factory (app_utils.py:68-75)."""
-    if os.path.exists(os.path.join(ckpt_path, "manifest.json")):
+    """Genre/continuation model factory (app_utils.py:68-75).
+
+    Fallback chain: the given checkpoint → the committed demo checkpoint →
+    freshly initialised reference-config weights.
+    """
+    if _exists(ckpt_path):
         return MusicLearner.load(ckpt_path)
+    if _exists(_demo("demo_genre_model")):
+        return MusicLearner.load(_demo("demo_genre_model"))
     cfg = btp_phase1_config().replace(encode_position=encode_position)
     return music_model_learner(cfg=cfg)
 
@@ -56,16 +73,20 @@ def createGenreContinuationModel(encode_position: bool = False,
 def createRemixModel(encode_position: bool = True,
                      ckpt_path: str = "./checkpoints/mask_music_model"
                      ) -> MultitaskLearner:
-    if os.path.exists(os.path.join(ckpt_path, "manifest.json")):
+    if _exists(ckpt_path):
         return MultitaskLearner.load(ckpt_path)
+    if _exists(_demo("demo_multitask_model")):
+        return MultitaskLearner.load(_demo("demo_multitask_model"))
     return multitask_model_learner(cfg=multitask_config())
 
 
 @lru_cache(maxsize=4)
 def createS2SModel(encode_position: bool = False,
                    ckpt_path: str = "./checkpoints/s2s_model") -> MultitaskLearner:
-    if os.path.exists(os.path.join(ckpt_path, "manifest.json")):
+    if _exists(ckpt_path):
         return MultitaskLearner.load(ckpt_path)
+    if _exists(_demo("demo_multitask_model")):
+        return MultitaskLearner.load(_demo("demo_multitask_model"))
     vocab = MusicVocab.create_s2s()
     return multitask_model_learner(cfg=multitask_config(len(vocab)), vocab=vocab)
 

@@ -56,11 +56,16 @@ def test_s2s_harmonize_end_to_end(multitask_learner, tmp_path):
     assert os.path.exists(out)
 
 
-def test_app_factories_fresh_models(tmp_path, monkeypatch):
+def test_app_factories_fallback_chain(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     app_utils.createGenreContinuationModel.cache_clear()
     m = app_utils.createGenreContinuationModel()
-    assert m.cfg.n_layers == 8 and m.cfg.d_inner == 3072  # btp_phase1
+    demo = os.path.join(app_utils._REPO_ROOT, "checkpoints", "demo_genre_model")
+    if os.path.exists(os.path.join(demo, "manifest.json")):
+        # committed demo checkpoint wins over fresh weights
+        assert m.cfg.n_layers == 4 and m.cfg.d_model == 256
+    else:
+        assert m.cfg.n_layers == 8 and m.cfg.d_inner == 3072  # btp_phase1
     app_utils.createGenreContinuationModel.cache_clear()
 
 
