@@ -121,3 +121,36 @@ def test_compress_score():
     # keeps the part with the most pitch variety
     best = max(score.accepted_parts(), key=lambda p: len(set(p.notes[:, 0].tolist())))
     assert len(small.parts[0].notes) == len(best.notes)
+
+
+def test_smf_parser_never_crashes_on_garbage():
+    """Fuzz: arbitrary bytes either parse or raise ValueError — no hangs or
+    unexpected exceptions (host-facing input safety)."""
+    import numpy as np
+    from deepmusicgeneration_tpu.midi.smf import parse_midi_bytes
+    rng = np.random.default_rng(0)
+    with open("/root/reference/fur_elise.mid", "rb") as f:
+        real = bytearray(f.read())
+    for trial in range(30):
+        data = bytearray(real)
+        n_flips = rng.integers(1, 50)
+        for _ in range(n_flips):
+            data[rng.integers(0, len(data))] = rng.integers(0, 256)
+        try:
+            mf = parse_midi_bytes(bytes(data))
+            assert mf.tracks is not None
+        except (ValueError, IndexError):
+            pass  # clean rejection is fine
+
+
+def test_decoder_never_crashes_on_malformed_idxenc(vocab):
+    """Random token soup must decode to npenc/MIDI without exceptions."""
+    import numpy as np
+    from deepmusicgeneration_tpu.codec.index import idxenc2npenc
+    from deepmusicgeneration_tpu.codec.decode import npenc2midibytes
+    rng = np.random.default_rng(1)
+    for trial in range(20):
+        idx = rng.integers(0, len(vocab), size=rng.integers(1, 200))
+        npenc = idxenc2npenc(idx, vocab)
+        data = npenc2midibytes(npenc)
+        assert data[:4] == b"MThd"
