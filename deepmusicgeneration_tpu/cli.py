@@ -159,6 +159,14 @@ def main(argv=None):
     pp.add_argument("--timeout", type=float, default=120)
     pp.set_defaults(fn=cmd_preprocess)
 
+    sv = sub.add_parser("serve", help="HTTP generation service")
+    sv.add_argument("--port", type=int, default=8711)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--max-batch", type=int, default=16)
+    sv.set_defaults(fn=lambda a: __import__(
+        "deepmusicgeneration_tpu.app.server", fromlist=["serve"]
+    ).serve(a.port, a.host, a.max_batch))
+
     tr = sub.add_parser("train", help="train the genre LM")
     tr.add_argument("--data", required=True, help="dir of cached .npy npencs")
     tr.add_argument("--ckpt", default="./checkpoints/lakh_genre_model")
