@@ -48,6 +48,7 @@ class SamplerSettings:
     bar_stop: bool = True      # 80%-budget bar-boundary early stop
     pos_stop: bool = False     # stop past a max position (predict_s2s)
     eos_stop: bool = False     # stop on sampled EOS (predict_s2s)
+    kv_int8: bool = False      # int8-quantized KV cache (halved HBM footprint)
 
 
 class DecodeTables(NamedTuple):
@@ -197,7 +198,10 @@ def generate_compiled(
     logits, cache0 = txl.prefill(params, cfg, window_toks, window_pad,
                                  pos=window_pos, mem_len=mem_len)
     cache = txl.ring_from_prefill(cache0, cfg)
+    if settings.kv_int8:
+        cache = txl.quantize_ring(cache)
     wkr_all = txl.precompute_wkr(params, cfg, mem_len)
+    step_fn = txl.decode_step_ring_q if settings.kv_int8 else txl.decode_step_ring
 
     prev0 = window_toks[:, -1]
     st0 = SampleState(
@@ -216,8 +220,7 @@ def generate_compiled(
         step_frac = i.astype(jnp.float32) / settings.n_words
         idx, st = sample_next_token(logits, st, tables, temperatures, top_p,
                                     min_bars, allowed_ins, sub, settings, step_frac)
-        logits, cache = txl.decode_step_ring(params, cfg, idx, st.last_pos,
-                                             cache, wkr_all)
+        logits, cache = step_fn(params, cfg, idx, st.last_pos, cache, wkr_all)
         return (cache, st, logits, rng), idx
 
     (_, st, _, _), toks = jax.lax.scan(
@@ -274,6 +277,7 @@ class GenerationEngine:
         temp_mode: str = "genre",
         seed: int = 0,
         mem_len: Optional[int] = None,
+        kv_int8: bool = False,
     ) -> np.ndarray:
         """Generate continuation tokens for one prompt; returns the new ids."""
         toks, lengths = self.generate_batch(
@@ -281,7 +285,7 @@ class GenerationEngine:
             [seed_pos] if seed_pos is not None else None,
             n_words=n_words, temperatures=temperatures, min_bars=min_bars,
             top_k=top_k, top_p=top_p, allowed_ins=allowed_ins, greedy=greedy,
-            temp_mode=temp_mode, seed=seed, mem_len=mem_len)
+            temp_mode=temp_mode, seed=seed, mem_len=mem_len, kv_int8=kv_int8)
         return toks[0][: lengths[0]]
 
     def generate_batch(
@@ -298,6 +302,7 @@ class GenerationEngine:
         temp_mode: str = "genre",
         seed: int = 0,
         mem_len: Optional[int] = None,
+        kv_int8: bool = False,
     ):
         from ..codec.index import position_enc
 
@@ -321,7 +326,8 @@ class GenerationEngine:
         if len(temperatures) == 2:
             temperatures = (temperatures[0], temperatures[1], temperatures[1])
         settings = SamplerSettings(n_words=n_words, top_k=top_k,
-                                   temp_mode=temp_mode, greedy=greedy)
+                                   temp_mode=temp_mode, greedy=greedy,
+                                   kv_int8=kv_int8)
         tables = self.tables(temp_mode)
         from ..codec.grammar import allowed_ins_mask
         ins_mask = jnp.asarray(allowed_ins_mask(self.vocab, allowed_ins))

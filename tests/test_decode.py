@@ -1,4 +1,5 @@
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -129,3 +130,35 @@ def test_generate_seed_longer_than_window(engine, vocab):
     assert len(idx) > engine.cfg.ctx_len
     out = engine.generate(idx, n_words=16, seed=3)
     assert len(out) > 0
+
+
+def test_int8_kv_cache_decode(engine, seed_idx, vocab):
+    """int8-quantized KV decode: grammatical output, close to the fp path."""
+    from deepmusicgeneration_tpu.models import txl as txl_mod
+    cfg, params = engine.cfg, engine.params
+    # direct step comparison on realistic cache content
+    rng = np.random.default_rng(4)
+    M = cfg.mem_len
+    L, H, Dh = cfg.n_layers, cfg.n_heads, cfg.d_head
+    k = jnp.asarray(rng.normal(scale=0.5, size=(L, 1, H, M, Dh)), cfg.act_dtype)
+    v = jnp.asarray(rng.normal(scale=0.5, size=(L, 1, H, M, Dh)), cfg.act_dtype)
+    g = jnp.asarray((np.arange(M) - M)[None], jnp.int32)
+    cache = txl_mod.RingKVCache(k=k, v=v, g=g, ptr=jnp.asarray(0, jnp.int32),
+                                g_cur=jnp.asarray(0, jnp.int32))
+    wkr = txl_mod.precompute_wkr(params, cfg, M)
+    tok = jnp.asarray([50], jnp.int32)
+    zero = jnp.zeros((1,), jnp.int32)
+    fp_logits, _ = txl_mod.decode_step_ring(params, cfg, tok, zero, cache, wkr)
+    q_logits, qcache = txl_mod.decode_step_ring_q(
+        params, cfg, tok, zero, txl_mod.quantize_ring(cache), wkr)
+    assert qcache.k_q.dtype == jnp.int8
+    # int8 error stays small relative to logit scale
+    diff = np.abs(np.asarray(fp_logits - q_logits))
+    assert diff.max() < 0.15, diff.max()
+    # quantized walk stays grammatical over several steps
+    cur, qc = tok, txl_mod.quantize_ring(cache)
+    from deepmusicgeneration_tpu.codec import grammar as G
+    for _ in range(6):
+        logits, qc = txl_mod.decode_step_ring_q(params, cfg, cur, zero, qc, wkr)
+        cur = jnp.argmax(logits, -1).astype(jnp.int32)
+        assert 0 <= int(cur[0]) < len(vocab)
