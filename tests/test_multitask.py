@@ -196,3 +196,40 @@ def test_mask_engine_parallel_mode(small, vocab, seed_idx):
     np.testing.assert_array_equal(out[keep], masked[keep])
     filled = out[note_pos[::2]]
     assert ((filled >= vocab.note_range[0]) & (filled < vocab.note_range[1])).all()
+
+
+def test_multitask_attention_torch_oracle(small, vocab):
+    """Independent torch implementation of the KV-attention equations must
+    match stack_forward for encoder, decoder and cross-attention paths."""
+    import torch
+    from oracle_multitask import stack_oracle
+    cfg, params = small
+    npp = jax.tree_util.tree_map(lambda p: np.asarray(p).copy(), params,
+                                 is_leaf=lambda x: x is None)
+    rng = np.random.default_rng(3)
+    B, L, Le = 2, 9, 7
+    x = rng.integers(0, cfg.vocab_size, (B, L))
+    ex = rng.integers(0, cfg.vocab_size, (B, Le))
+    h = np.asarray(params["embed"])[x]
+    eh_in = np.asarray(params["embed"])[ex]
+    # zero pad-row semantics
+    h[x == 1] = 0.0
+    eh_in[ex == 1] = 0.0
+
+    # encoder (bidirectional, attention-only blocks)
+    ours_enc = mt.stack_forward(params["encoder"], cfg, jnp.asarray(h, jnp.float32),
+                                is_decoder=False)
+    theirs_enc = stack_oracle(npp["encoder"], cfg, torch.from_numpy(h).float(),
+                              is_decoder=False).detach().numpy()
+    np.testing.assert_allclose(np.asarray(ours_enc), theirs_enc, atol=3e-4, rtol=1e-3)
+
+    # decoder with cross-attention + FFN (the s2s path)
+    enc_out = mt.stack_forward(params["encoder"], cfg, jnp.asarray(eh_in, jnp.float32),
+                               is_decoder=False)
+    ours_dec = mt.stack_forward(params["decoder"], cfg, jnp.asarray(h, jnp.float32),
+                                is_decoder=True, enc_out=enc_out)
+    theirs_dec = stack_oracle(npp["decoder"], cfg, torch.from_numpy(h).float(),
+                              is_decoder=True,
+                              enc_out=torch.from_numpy(np.asarray(enc_out)).float()
+                              ).detach().numpy()
+    np.testing.assert_allclose(np.asarray(ours_dec), theirs_dec, atol=5e-4, rtol=1e-3)
