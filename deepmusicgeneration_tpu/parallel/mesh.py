@@ -24,12 +24,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    """Build a (dp, tp) mesh over ``devices`` (default: all local devices).
+
+    With the default device list, ``dp*tp`` must equal the device count —
+    silently dropping devices is almost always a bug. To use a subset on
+    purpose, pass it explicitly: ``make_mesh(dp=2, tp=1,
+    devices=jax.devices()[:2])``. To test multi-chip layouts without the
+    chips, run under a virtual CPU mesh:
+    ``JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8``.
+    """
+    explicit = devices is not None
+    devices = devices if explicit else jax.devices()
     n = len(devices)
     if dp is None:
+        if n % tp != 0:
+            raise ValueError(f"tp={tp} does not divide the {n} available devices")
         dp = n // tp
-    assert dp * tp <= n, f"mesh {dp}x{tp} needs {dp*tp} devices, have {n}"
-    arr = np.array(devices[: dp * tp]).reshape(dp, tp)
+    want = dp * tp
+    hint = ("; for a virtual mesh set JAX_PLATFORMS=cpu "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={want} "
+            "before importing jax")
+    if want > n:
+        raise ValueError(f"mesh {dp}x{tp} needs {want} devices, have {n}{hint}")
+    if want < n and not explicit:
+        raise ValueError(
+            f"mesh {dp}x{tp} uses only {want} of {n} devices; pass the device "
+            f"subset explicitly (devices=jax.devices()[:{want}]) if intended")
+    arr = np.array(devices[:want]).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
@@ -65,6 +86,9 @@ def txl_param_specs(params) -> dict:
 def multitask_param_specs(params) -> dict:
     """Specs for the MultiTransformer param pytree (see models/multitask.py)."""
     def attn_spec(ap):
+        # q/k/v/r are column-parallel on heads; there is NO output projection
+        # in this attention (reference quirk, models/multitask.py) — heads are
+        # concatenated directly, so XLA all-gathers before the post-norm.
         return {
             "q_w": P(None, "tp"), "k_w": P(None, "tp"), "v_w": P(None, "tp"),
             "q_b": P("tp") if ap.get("q_b") is not None else None,
@@ -72,8 +96,6 @@ def multitask_param_specs(params) -> dict:
             "v_b": P("tp") if ap.get("v_b") is not None else None,
             "r_w": P(None, "tp"),
             "r_b": P("tp") if ap.get("r_b") is not None else None,
-            "out_w": P("tp", None),
-            "out_b": P() if ap.get("out_b") is not None else None,
             "ln_g": P(), "ln_b": P(),
         }
 

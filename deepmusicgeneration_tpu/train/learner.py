@@ -28,7 +28,8 @@ from ..models.config import MultitaskConfig, TXLConfig
 from ..vocab import MusicVocab
 from .checkpoint import load_checkpoint, save_checkpoint
 from .data import LMStreamLoader
-from .loop import TrainState, cross_entropy, make_optimizer, make_train_step
+from .loop import (TrainState, cross_entropy, make_optimizer,
+                   make_sharded_multitask_step, make_train_step, multi_loss)
 
 
 @dataclass
@@ -223,19 +224,6 @@ def music_model_learner(cfg: Optional[TXLConfig] = None,
 # Multitask learner
 # ---------------------------------------------------------------------------
 
-def multi_loss(outputs: Dict[str, jnp.ndarray], targets: Dict[str, jnp.ndarray],
-               pad_idx: int):
-    """MultiLoss: sum of per-task CE ignoring pad (remix:2734-2741)."""
-    total = 0.0
-    metrics = {}
-    for key, y in targets.items():
-        loss, acc = cross_entropy(outputs[key], y, ignore_index=pad_idx)
-        total = total + loss
-        metrics[f"{key}_loss"] = loss
-        metrics[f"{key}_acc"] = acc
-    return total, metrics
-
-
 class MultitaskLearner:
     def __init__(self, cfg: MultitaskConfig, vocab: MusicVocab,
                  params=None, rng: Optional[jax.Array] = None):
@@ -302,7 +290,8 @@ class MultitaskLearner:
     # -- training -----------------------------------------------------------
     def fit(self, batches, epochs: int = 1, lr: float = 5e-4, clip: float = 0.5,
             log_fn: Callable[[str], None] = print, seed: int = 0,
-            dataloaders=None, starting_mask_window: int = 1) -> FitResult:
+            dataloaders=None, starting_mask_window: int = 1,
+            mesh=None) -> FitResult:
         """Train on (x_dict, y_dict) multitask batches.
 
         MTTrainer semantics (deep_music_remix.py:2782-2799): per epoch, the
@@ -310,28 +299,47 @@ class MultitaskLearner:
         (``mask_steps = max(epoch + starting_mask_window, 100)``) and, when
         ``dataloaders`` is given, training rotates between them (task
         scheduling). ``batches`` may be a list or a loader.
+
+        ``mesh``: a ``(dp, tp)`` ``jax.sharding.Mesh``. When given, params and
+        Adam moments are sharded per ``multitask_param_specs`` (tp on
+        heads/FFN hidden) and every task batch's leading axis over dp — the
+        TPU-native form of the reference's fastai-DDP training
+        (deep_music_remix.py:2452-2799). Pass ``make_mesh()`` to use all
+        local devices.
         """
         loaders = dataloaders if dataloaders is not None else [
             batches if isinstance(batches, list) else list(batches)]
         total_steps = sum(len(l) for l in loaders) // max(len(loaders), 1) * epochs
         optimizer = make_optimizer(max(total_steps, 1), peak_lr=lr, clip=clip)
-        opt_state = optimizer.init(self.params)
         pad_idx = self.vocab.pad_idx
         cfg = self.cfg
         host_rng = np.random.default_rng(seed)
 
-        @functools.partial(jax.jit, static_argnames=("win_size", "win_k"))
-        def step(params, opt_state, xd, yd, win_size=1, win_k=1):
-            def loss_fn(p):
-                out = mt.forward(p, cfg, xd, pad_idx=pad_idx,
-                                 win_size=win_size, win_k=win_k)
-                return multi_loss(out, yd, pad_idx)
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state2 = optimizer.update(grads, opt_state, params)
-            params2 = optax.apply_updates(params, updates)
-            return params2, opt_state2, loss, metrics
+        if mesh is not None:
+            step, shard_params, shard_opt, shard_batch = \
+                make_sharded_multitask_step(cfg, optimizer, pad_idx, mesh)
+            params = shard_params(self.params)
+            opt_state = shard_opt(params, optimizer.init(params))
+        else:
+            params = self.params
+            opt_state = optimizer.init(params)
 
-        params = self.params
+            @functools.partial(jax.jit, static_argnames=("win_size", "win_k"))
+            def step(params, opt_state, xd, yd, win_size=1, win_k=1):
+                def loss_fn(p):
+                    out = mt.forward(p, cfg, xd, pad_idx=pad_idx,
+                                     win_size=win_size, win_k=win_k)
+                    return multi_loss(out, yd, pad_idx)
+                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                updates, opt_state2 = optimizer.update(grads, opt_state, params)
+                params2 = optax.apply_updates(params, updates)
+                return params2, opt_state2, loss, metrics
+
+            def shard_batch(tree):
+                return jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a) if a is not None else None, tree,
+                    is_leaf=lambda a: a is None or isinstance(a, np.ndarray))
+
         result = FitResult()
         for epoch in range(epochs):
             t0 = time.time()
@@ -345,10 +353,7 @@ class MultitaskLearner:
                     win, wk = int(host_rng.integers(1, mask_steps + 1)), 0
                 else:
                     win, wk = 1, 1
-                jx = jax.tree_util.tree_map(
-                    lambda a: jnp.asarray(a) if a is not None else None, xd,
-                    is_leaf=lambda a: a is None or isinstance(a, np.ndarray))
-                jy = {k: jnp.asarray(v) for k, v in yd.items()}
+                jx, jy = shard_batch(xd), shard_batch(yd)
                 params, opt_state, loss, metrics = step(params, opt_state, jx, jy,
                                                         win_size=win, win_k=wk)
                 tot += float(loss)
@@ -358,7 +363,11 @@ class MultitaskLearner:
             result.history.append(entry)
             result.best_loss = min(result.best_loss, entry["train_loss"])
             log_fn(f"epoch {epoch}: loss {entry['train_loss']:.4f} ({entry['time_s']:.1f}s)")
-        self.params = params
+        self.params = jax.device_get(params) if mesh is not None else params
+        if mesh is not None:
+            self.params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a) if a is not None else None, self.params,
+                is_leaf=lambda a: a is None)
         self._mask_engine = self._s2s_engine = self._nw_engine = None
         return result
 

@@ -57,6 +57,19 @@ def make_optimizer(total_steps: int, peak_lr: float = 5e-4,
     )
 
 
+def multi_loss(outputs: Dict[str, jnp.ndarray], targets: Dict[str, jnp.ndarray],
+               pad_idx: int):
+    """MultiLoss: sum of per-task CE ignoring pad (remix:2734-2741)."""
+    total = 0.0
+    metrics = {}
+    for key, y in targets.items():
+        loss, acc = cross_entropy(outputs[key], y, ignore_index=pad_idx)
+        total = total + loss
+        metrics[f"{key}_loss"] = loss
+        metrics[f"{key}_acc"] = acc
+    return total, metrics
+
+
 class TrainState(NamedTuple):
     params: Dict
     opt_state: optax.OptState
@@ -104,6 +117,24 @@ def make_train_step(cfg: TXLConfig, optimizer, pad_idx: int) -> Callable:
     return train_step
 
 
+def _shard_opt_state(opt_state, pspecs, mesh):
+    """Shard Adam moment buffers like the params they mirror; replicate the rest."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import shard_pytree
+
+    def shard_one(os):
+        if isinstance(os, optax.ScaleByAdamState):
+            return os._replace(
+                count=jax.device_put(os.count, NamedSharding(mesh, P())),
+                mu=shard_pytree(os.mu, pspecs, mesh),
+                nu=shard_pytree(os.nu, pspecs, mesh))
+        return jax.device_put(os, NamedSharding(mesh, P()))
+
+    return tuple(
+        tuple(shard_one(o) for o in s) if isinstance(s, tuple) else shard_one(s)
+        for s in opt_state)
+
+
 def make_sharded_train_step(cfg: TXLConfig, optimizer, pad_idx: int, mesh):
     """The multi-chip train step: params sharded per ``txl_param_specs``
     (tp on heads/ffn), batch sharded over dp. One jit; XLA places collectives."""
@@ -120,17 +151,7 @@ def make_sharded_train_step(cfg: TXLConfig, optimizer, pad_idx: int, mesh):
         from ..parallel.mesh import shard_pytree
         pspecs = txl_param_specs(state.params)
         params = shard_pytree(state.params, pspecs, mesh)
-        opt_state = jax.device_put(state.opt_state, NamedSharding(mesh, P()))
-        # opt_state mirrors params structure; shard the moment buffers likewise
-        def shard_opt(os):
-            if isinstance(os, optax.ScaleByAdamState):
-                return os._replace(
-                    mu=shard_pytree(os.mu, pspecs, mesh),
-                    nu=shard_pytree(os.nu, pspecs, mesh))
-            return os
-        opt_state = tuple(
-            tuple(shard_opt(o) for o in s) if isinstance(s, tuple) else shard_opt(s)
-            for s in state.opt_state)
+        opt_state = _shard_opt_state(state.opt_state, pspecs, mesh)
         mem = txl.TXLState(
             mem=jax.device_put(state.mem.mem, NamedSharding(mesh, P(None, "dp"))),
             valid=jax.device_put(state.mem.valid, NamedSharding(mesh, P())))
@@ -142,3 +163,44 @@ def make_sharded_train_step(cfg: TXLConfig, optimizer, pad_idx: int, mesh):
                 for k, v in batch.items() if v is not None}
 
     return step, shard_state, shard_batch
+
+
+def make_sharded_multitask_step(cfg, optimizer, pad_idx: int, mesh):
+    """Multi-chip multitask train step (MultiTransformer).
+
+    The reference trains this model under fastai DDP
+    (deep_music_remix.py:2452-2799, metric all_reduce at :2770-2773); here the
+    same parallelism is sharding annotations: params per
+    ``multitask_param_specs`` (tp on heads/FFN hidden), every task batch's
+    leading axis over dp. Returns ``(step, shard_params, shard_opt,
+    shard_batch)``; ``step(params, opt_state, xd, yd, win_size, win_k)``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..models import multitask as mt
+    from ..parallel.mesh import multitask_param_specs, shard_pytree
+
+    @functools.partial(jax.jit, static_argnames=("win_size", "win_k"),
+                       donate_argnums=(0, 1))
+    def step(params, opt_state, xd, yd, win_size: int = 1, win_k: int = 1):
+        def loss_fn(p):
+            out = mt.forward(p, cfg, xd, pad_idx=pad_idx,
+                             win_size=win_size, win_k=win_k)
+            return multi_loss(out, yd, pad_idx)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        return params2, opt_state2, loss, metrics
+
+    def shard_params(params):
+        return shard_pytree(params, multitask_param_specs(params), mesh)
+
+    def shard_opt(params, opt_state):
+        return _shard_opt_state(opt_state, multitask_param_specs(params), mesh)
+
+    def shard_batch(tree):
+        dp = NamedSharding(mesh, P("dp"))
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a), dp) if a is not None else None,
+            tree, is_leaf=lambda a: a is None)
+
+    return step, shard_params, shard_opt, shard_batch

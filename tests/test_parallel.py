@@ -30,6 +30,25 @@ def test_mesh_shapes():
     assert mesh.shape == {"dp": 4, "tp": 2}
 
 
+def test_mesh_rejects_oversubscription():
+    with pytest.raises(ValueError, match="xla_force_host_platform_device_count"):
+        make_mesh(dp=16, tp=2)
+
+
+def test_mesh_rejects_silent_device_drop():
+    # dp*tp < n must be an explicit choice, not a silent subset
+    with pytest.raises(ValueError, match="subset"):
+        make_mesh(dp=2, tp=2)
+    # explicit subset is allowed
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    assert mesh.shape == {"dp": 2, "tp": 2}
+
+
+def test_mesh_rejects_nondividing_tp():
+    with pytest.raises(ValueError, match="divide"):
+        make_mesh(tp=3)
+
+
 def test_param_sharding_places_heads_on_tp():
     mesh = make_mesh(dp=4, tp=2)
     params = __import__("deepmusicgeneration_tpu.models.txl", fromlist=["x"]).init_txl(
@@ -78,6 +97,92 @@ def test_sharded_train_step_runs_and_matches_single_device():
     # params actually updated
     embed_after = np.asarray(jax.device_get(new_state.params["embed"]))
     assert np.abs(embed_after - embed_before).max() > 0
+
+
+def _tiny_multitask_batch(rng, B=8, L=16):
+    def toks():
+        return rng.integers(2, 324, (B, L)).astype(np.int32)
+
+    def poss():
+        return np.cumsum(rng.integers(0, 3, (B, L)), axis=1).astype(np.int32)
+
+    xd = {
+        "msk": {"x": toks(), "pos": poss()},
+        "lm": {"x": toks(), "pos": poss()},
+        "s2f": {"enc": toks(), "enc_pos": poss(),
+                "dec": toks(), "dec_pos": poss()},
+    }
+    yd = {k: toks() for k in ("msk", "lm", "s2f")}
+    return xd, yd
+
+
+def test_sharded_multitask_step_matches_single_device():
+    """multitask_param_specs are live: the sharded step must produce the same
+    loss and updated params as the unsharded step (fp32, no dropout)."""
+    from deepmusicgeneration_tpu.models import multitask as mt
+    from deepmusicgeneration_tpu.models.config import MultitaskConfig
+    from deepmusicgeneration_tpu.train.loop import make_sharded_multitask_step, multi_loss
+    import optax
+
+    cfg = MultitaskConfig(vocab_size=324, enc_layers=2, dec_layers=2,
+                          d_model=64, d_inner=128, n_heads=4, d_head=16,
+                          ctx_len=16, mem_len=16, dtype="float32")
+    optimizer = make_optimizer(total_steps=4)
+    params0 = mt.init_multitask(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    xd, yd = _tiny_multitask_batch(rng)
+
+    # single-device reference
+    def loss_fn(p, jx, jy):
+        return multi_loss(mt.forward(p, cfg, jx, pad_idx=1), jy, 1)
+
+    @jax.jit
+    def ref_step(p, os_, jx, jy):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, jx, jy)
+        updates, os2 = optimizer.update(grads, os_, p)
+        return optax.apply_updates(p, updates), loss
+
+    jx = jax.tree_util.tree_map(jnp.asarray, xd)
+    jy = jax.tree_util.tree_map(jnp.asarray, yd)
+    ref_params, ref_loss = ref_step(params0, optimizer.init(params0), jx, jy)
+
+    # sharded
+    mesh = make_mesh(dp=4, tp=2)
+    step, shard_params, shard_opt, shard_batch = \
+        make_sharded_multitask_step(cfg, optimizer, 1, mesh)
+    with mesh:
+        sp = shard_params(params0)
+        so = shard_opt(sp, optimizer.init(sp))
+        sxd, syd = shard_batch(xd), shard_batch(yd)
+        new_params, _, loss, metrics = step(sp, so, sxd, syd)
+
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(new_params["embed"])),
+        np.asarray(jax.device_get(ref_params["embed"])), rtol=2e-3, atol=2e-5)
+    # params genuinely sharded on tp
+    qw = new_params["encoder"]["layers"][0]["mha1"]["q_w"]
+    assert {s.data.shape for s in qw.addressable_shards} == {(64, 32)}
+
+
+def test_multitask_learner_fit_with_mesh(vocab):
+    """MultitaskLearner.fit(mesh=...) trains and the loss decreases."""
+    from deepmusicgeneration_tpu.models.config import MultitaskConfig
+    from deepmusicgeneration_tpu.train.learner import MultitaskLearner
+
+    cfg = MultitaskConfig(vocab_size=len(vocab), enc_layers=2, dec_layers=2,
+                          d_model=64, d_inner=128, n_heads=4, d_head=16,
+                          ctx_len=16, mem_len=16, dtype="float32")
+    learner = MultitaskLearner(cfg, vocab)
+    rng = np.random.default_rng(1)
+    batches = [_tiny_multitask_batch(rng) for _ in range(3)]
+    mesh = make_mesh(dp=4, tp=2)
+    res = learner.fit(batches, epochs=2, lr=1e-3, mesh=mesh)
+    assert len(res.history) == 2
+    assert res.history[1]["train_loss"] < res.history[0]["train_loss"]
+    # params handed back to the learner are fetchable and usable
+    assert np.isfinite(float(jnp.sum(learner.params["embed"])))
 
 
 def test_batched_generation_dp_sharded(vocab):
