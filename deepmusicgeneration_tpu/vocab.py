@@ -12,9 +12,9 @@ Defines the exact token universe of the reference pipeline
 * padding ``dummy{i}`` tokens appended ``len(itos) % 8`` times (reference quirk —
   318 % 8 == 6 extra tokens, total **324**, reproduced bit-for-bit).
 
-The seq2seq variant (`/root/reference/deep_music_s2s.py:200,901`) drops the six
-genre tokens and the tempo tokens: 6 specials + 128 + 161 + 7 = 302, plus
-302 % 8 == 6 dummies → **308** tokens.
+The seq2seq variant (`/root/reference/deep_music_s2s.py:200,901-905`) drops the
+six genre tokens and the tempo tokens AND comments the dummy-padding block out:
+6 specials + 128 + 161 + 7 = **302** tokens exactly (no dummies).
 
 Unlike the reference's pickled class, the vocabulary here is a frozen value
 object derivable entirely from a layout name, so checkpoints only need to store
@@ -90,13 +90,16 @@ S2S_SPECIAL_TOKS = [BOS, PAD, EOS, MASK, IN, SEP]
 SEP_INS_VAL = -2 - len(NOTE_TOKS) - len(DUR_TOKS)  # == -291
 
 
-def _build_itos(specials: Sequence[str], with_tempo: bool) -> List[str]:
+def _build_itos(specials: Sequence[str], with_tempo: bool,
+                pad_dummies: bool = True) -> List[str]:
     itos = list(specials) + NOTE_TOKS + DUR_TOKS + INS_TOKS
     if with_tempo:
         itos = itos + MTEMPO_TOKS
     # Reference quirk (core/vocab.py:78-79): appends len(itos) % 8 dummies,
-    # which does NOT round up to a multiple of 8 — reproduced exactly.
-    if len(itos) % 8 != 0:
+    # which does NOT round up to a multiple of 8 — reproduced exactly. The s2s
+    # monolith comments this block out (deep_music_s2s.py:903-905), so its
+    # layout gets no dummies.
+    if pad_dummies and len(itos) % 8 != 0:
         itos = itos + [f"dummy{i}" for i in range(len(itos) % 8)]
     return itos
 
@@ -124,8 +127,11 @@ class MusicVocab:
 
     @classmethod
     def create_s2s(cls) -> "MusicVocab":
-        """The 308-token seq2seq vocabulary (deep_music_s2s.py:200,895-903)."""
-        return cls(tuple(_build_itos(S2S_SPECIAL_TOKS, with_tempo=False)), "s2s")
+        """The 302-token seq2seq vocabulary (deep_music_s2s.py:200,901-905):
+        6 specials + 128 notes + 161 durations + 7 instruments, NO dummy
+        padding (the reference comments that block out)."""
+        return cls(tuple(_build_itos(S2S_SPECIAL_TOKS, with_tempo=False,
+                                     pad_dummies=False)), "s2s")
 
     @classmethod
     def from_layout(cls, layout: str) -> "MusicVocab":

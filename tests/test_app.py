@@ -90,7 +90,7 @@ def test_cli_tokenize(tmp_path, capsys):
 
 
 def test_s2s_vocab_layout_end_to_end(s2s_vocab):
-    """The 308-token s2s vocabulary drives the whole harmonization path."""
+    """The 302-token s2s vocabulary drives the whole harmonization path."""
     from deepmusicgeneration_tpu.models.config import small_multitask_config
     cfg = small_multitask_config(len(s2s_vocab))
     learner = MultitaskLearner(cfg, s2s_vocab)
@@ -98,7 +98,7 @@ def test_s2s_vocab_layout_end_to_end(s2s_vocab):
                                        seed=1)
     data = multitrack.to_midi_bytes()
     assert data[:4] == b"MThd"
-    # tokens from the 308-token universe only
+    # tokens from the 302-token universe only
     for item in (multitrack.first_instrument, multitrack.second_instrument):
         assert (item.data < len(s2s_vocab)).all()
 

@@ -30,11 +30,17 @@ def test_vocab_layout_genre(vocab):
     assert vocab.sep_idx == 11 and vocab.ni_idx == 10
 
 
-def test_vocab_layout_s2s(s2s_vocab):
-    # 6 specials + 128 + 161 + 7 = 302, + 302 % 8 = 6 dummies
-    assert len(s2s_vocab) == 308
+def test_vocab_layout_s2s_is_302(s2s_vocab):
+    # deep_music_s2s.py:901-905: itos = SPECIAL_TOKS + NOTE_TOKS + DUR_TOKS
+    # + INS_TOKS with the dummy-padding block commented out →
+    # 6 specials + 128 + 161 + 7 = 302 tokens exactly, NO dummies.
+    assert len(s2s_vocab) == 302
     assert s2s_vocab.itos[:6] == ("xxbos", "xxpad", "xxeos", "xxmask", "xxni", "xxsep")
     assert s2s_vocab.sep_idx == 5 and s2s_vocab.ni_idx == 4
+    assert s2s_vocab.itos[6] == "n0" and s2s_vocab.itos[133] == "n127"
+    assert s2s_vocab.itos[134] == "d0" and s2s_vocab.itos[294] == "d160"
+    assert s2s_vocab.itos[295] == "i0" and s2s_vocab.itos[301] == "i6"
+    assert not any(t.startswith("dummy") for t in s2s_vocab.itos)
 
 
 def test_constants():
