@@ -247,12 +247,20 @@ class GenerationEngine:
     """
 
     def __init__(self, params: Dict, cfg: TXLConfig, vocab: MusicVocab,
-                 cast_bf16: Optional[bool] = None):
+                 cast_bf16: Optional[bool] = None, mesh=None):
+        """``mesh``: a mesh with a ``dp`` axis. When given, params are
+        replicated across it and ``generate_batch`` shards the batch axis over
+        dp (batch rows padded up to a dp multiple) — data-parallel serving,
+        the inference analogue of the reference's DDP training (SURVEY §2.5)."""
         if cast_bf16 is None:
             cast_bf16 = cfg.dtype == "bfloat16"
         if cast_bf16:
             from ..models.precision import cast_params_for_inference
             params = cast_params_for_inference(params)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            params = jax.device_put(params, NamedSharding(mesh, P()))
         self.params = params
         self.cfg = cfg
         self.vocab = vocab
@@ -332,12 +340,32 @@ class GenerationEngine:
         from ..codec.grammar import allowed_ins_mask
         ins_mask = jnp.asarray(allowed_ins_mask(self.vocab, allowed_ins))
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dp = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+            # pad batch rows up to a dp multiple so the dp shards are equal
+            B_pad = -(-B // dp) * dp
+            if B_pad != B:
+                reps = B_pad - B
+                toks = np.concatenate([toks, np.repeat(toks[:1], reps, 0)])
+                pad = np.concatenate([pad, np.repeat(pad[:1], reps, 0)])
+                pos = np.concatenate([pos, np.repeat(pos[:1], reps, 0)])
+                last_pos = np.concatenate([last_pos, np.repeat(last_pos[:1], reps)])
+            row = NamedSharding(self.mesh, P(("dp", "tp")))
+            toks_d = jax.device_put(jnp.asarray(toks), row)
+            pad_d = jax.device_put(jnp.asarray(pad), row)
+            pos_d = jax.device_put(jnp.asarray(pos), row)
+            last_d = jax.device_put(jnp.asarray(last_pos), row)
+        else:
+            toks_d, pad_d = jnp.asarray(toks), jnp.asarray(pad)
+            pos_d, last_d = jnp.asarray(pos), jnp.asarray(last_pos)
+
         out, lengths = generate_compiled(
             self.params, self.cfg,
-            jnp.asarray(toks), jnp.asarray(pad), jnp.asarray(pos),
-            jnp.asarray(last_pos), tables,
+            toks_d, pad_d, pos_d, last_d, tables,
             jnp.asarray(np.asarray(temperatures, np.float32)),
             jnp.asarray(np.float32(top_p)), jnp.asarray(np.int32(min_bars)),
             ins_mask, jax.random.PRNGKey(seed), settings,
             window=W, mem_len=mem_len)
-        return np.asarray(out), np.asarray(lengths)
+        self.last_sharding = out.sharding  # inspectable by callers/tests
+        return np.asarray(out)[:B], np.asarray(lengths)[:B]

@@ -50,8 +50,24 @@ class _Request:
 class GenerationService:
     """Coalesces concurrent generate() calls into device batches."""
 
-    def __init__(self, learner, max_batch: int = 16, max_wait_s: float = 0.02):
-        self.engine = learner.engine
+    def __init__(self, learner, max_batch: int = 16, max_wait_s: float = 0.02,
+                 mesh="auto"):
+        """``mesh='auto'``: when more than one device is attached, batches are
+        dp-sharded across all of them (each chip decodes its slice of the
+        coalesced batch); pass ``None`` to stay single-device or a ready-made
+        mesh to control the layout."""
+        if mesh == "auto":
+            import jax
+            mesh = None
+            if len(jax.devices()) > 1:
+                from ..parallel.mesh import make_mesh
+                mesh = make_mesh(tp=1)
+        if mesh is not None:
+            from ..decode.engine import GenerationEngine
+            self.engine = GenerationEngine(learner.params, learner.cfg,
+                                           learner.vocab, mesh=mesh)
+        else:
+            self.engine = learner.engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
         self._q: "queue.Queue[_Request]" = queue.Queue()

@@ -186,7 +186,9 @@ def test_multitask_learner_fit_with_mesh(vocab):
 
 
 def test_batched_generation_dp_sharded(vocab):
-    """Batched decode with the batch axis sharded over dp executes correctly."""
+    """Batched decode with the batch axis ACTUALLY sharded over dp: inputs are
+    placed with P('dp'), outputs must come back dp-sharded, results must match
+    the unsharded engine bit-for-bit, and odd batch sizes are row-padded."""
     from conftest import random_npenc
     from deepmusicgeneration_tpu.codec.index import npenc2idxenc
     from deepmusicgeneration_tpu.decode.engine import GenerationEngine
@@ -194,13 +196,51 @@ def test_batched_generation_dp_sharded(vocab):
 
     mesh = make_mesh(dp=8, tp=1)
     params = txl_mod.init_txl(jax.random.PRNGKey(0), TINY)
-    engine = GenerationEngine(params, TINY, vocab)
+    engine = GenerationEngine(params, TINY, vocab, mesh=mesh)
     rng = np.random.default_rng(0)
     seeds = [npenc2idxenc(random_npenc(rng, n_groups=5), vocab)[:-1]
              for _ in range(8)]
     toks, lengths = engine.generate_batch(seeds, n_words=16, seed=1)
     assert toks.shape == (8, 16)
     assert (lengths > 0).all()
+    # the output really was computed under a dp sharding (fails if the
+    # device_put placement in generate_batch is removed)
+    assert not engine.last_sharding.is_fully_replicated
+    spec = engine.last_sharding.spec
+    assert spec and spec[0] is not None and "dp" in jax.tree_util.tree_leaves(spec[0])
+
+    # params replicated → identical tokens to the single-device engine
+    ref = GenerationEngine(params, TINY, vocab)
+    ref_toks, ref_lengths = ref.generate_batch(seeds, n_words=16, seed=1)
+    np.testing.assert_array_equal(toks, ref_toks)
+    np.testing.assert_array_equal(lengths, ref_lengths)
+
+    # batch not divisible by dp: rows are padded up then trimmed back
+    toks5, lengths5 = engine.generate_batch(seeds[:5], n_words=16, seed=1)
+    assert toks5.shape == (5, 16)
+    np.testing.assert_array_equal(toks5, ref_toks[:5])
+
+
+def test_generation_service_uses_dp_mesh(vocab):
+    """GenerationService(mesh='auto') decodes on a dp mesh on this 8-dev host."""
+    from deepmusicgeneration_tpu.tasks.serve import GenerationService
+    from deepmusicgeneration_tpu.train.learner import MusicLearner
+
+    learner = MusicLearner(TINY, vocab)
+    svc = GenerationService(learner, max_batch=8, max_wait_s=0.05)
+    try:
+        assert svc.engine.mesh is not None  # >1 device → auto dp mesh
+        from conftest import random_npenc
+        from deepmusicgeneration_tpu.codec.index import npenc2idxenc
+        rng = np.random.default_rng(0)
+        seeds = [npenc2idxenc(random_npenc(rng, n_groups=4), vocab)[:-1]
+                 for _ in range(4)]
+        futs = [svc.submit(s, n_words=8, seed=3) for s in seeds]
+        outs = [f.result(timeout=300) for f in futs]
+        assert all(len(o) > 0 for o in outs)
+        assert not svc.engine.last_sharding.is_fully_replicated
+    finally:
+        svc.close()
 
 
 def test_multihost_helpers_single_host():
