@@ -34,6 +34,10 @@ def main():
         predictMaskModel,
         predictNwGenreModel,
     )
+    from deepmusicgeneration_tpu.app.piano_roll import (
+        item_to_piano_roll_png,
+        midi_to_piano_roll_png,
+    )
     from deepmusicgeneration_tpu.tasks.harmonize import s2s_predict_from_midi
 
     st.set_page_config(page_title="Deep Music Generation (TPU)", layout="wide")
@@ -50,6 +54,11 @@ def main():
         mid_path = os.path.join("tempDir", uploaded.name)
         with open(mid_path, "wb") as f:
             f.write(uploaded.getbuffer())
+        # upload preview — the reference's audio preview intent (app.py:121-127)
+        # rendered as a piano roll (no synthesizer dependency)
+        png = midi_to_piano_roll_png(mid_path)
+        if png:
+            st.image(png, caption="Uploaded MIDI (piano roll)")
 
     if task == "Music Generation":
         genre = st.selectbox("Genre", GENRES)
@@ -73,6 +82,8 @@ def main():
             out = "./outputs/genre_output.mid"
             full.write_midi(out, bpm=bpm)
             st.success(f"Wrote {out}")
+            st.image(item_to_piano_roll_png(full),
+                     caption="Generated continuation (piano roll)")
             st.download_button("Download MIDI", open(out, "rb").read(),
                                "genre_output.mid")
 
@@ -95,6 +106,8 @@ def main():
             out = f"./outputs/remix_{pred_type}_output.mid"
             pred.write_midi(out, bpm=bpm)
             st.success(f"Wrote {out}")
+            st.image(item_to_piano_roll_png(pred),
+                     caption="Remixed result (piano roll)")
             st.download_button("Download MIDI", open(out, "rb").read(),
                                os.path.basename(out))
 
@@ -112,6 +125,8 @@ def main():
             out = "./outputs/s2s_output.mid"
             multitrack.write_midi(out, bpm=bpm)
             st.success(f"Wrote {out}")
+            st.image(item_to_piano_roll_png(multitrack),
+                     caption="Harmonized result (piano roll)")
             st.download_button("Download MIDI", open(out, "rb").read(),
                                "s2s_output.mid")
 

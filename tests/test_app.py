@@ -120,3 +120,39 @@ def test_allowed_ins_ui_mapping(genre_learner, tmp_path):
     gen_ins = gen[(gen >= ilo) & (gen < ihi)]
     if len(gen_ins):
         assert (gen_ins == ilo + 3).all()
+
+
+def test_piano_roll_preview_renders_png():
+    """UI preview path: MIDI → piano-roll PNG (reference preview intent,
+    app.py:121-127, without a synthesizer)."""
+    from deepmusicgeneration_tpu.app.piano_roll import (
+        item_to_piano_roll_png,
+        midi_to_piano_roll_png,
+    )
+    from deepmusicgeneration_tpu.codec.item import MusicItem
+    from deepmusicgeneration_tpu.vocab import MusicVocab
+
+    png = midi_to_piano_roll_png(FUR_ELISE)
+    assert png is not None and png[:8] == b"\x89PNG\r\n\x1a\n"
+    # decodes back and has painted (non-background) pixels
+    import io
+    import struct
+    import zlib
+    w, h = struct.unpack(">II", png[16:24])
+    assert w > 0 and h > 0
+
+    item = MusicItem.from_file(FUR_ELISE, MusicVocab.create())
+    png2 = item_to_piano_roll_png(item)
+    assert png2[:8] == b"\x89PNG\r\n\x1a\n"
+    # raw IDAT has more than background: at least two distinct byte values
+    assert len(set(png2)) > 16
+
+
+def test_piano_roll_multitrack():
+    from deepmusicgeneration_tpu.app.piano_roll import item_to_piano_roll_png
+    from deepmusicgeneration_tpu.codec.item import MultitrackItem
+    from deepmusicgeneration_tpu.vocab import MusicVocab
+
+    mt = MultitrackItem.from_file(NEVER, MusicVocab.create())
+    png = item_to_piano_roll_png(mt)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
