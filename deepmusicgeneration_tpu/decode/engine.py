@@ -32,7 +32,7 @@ import numpy as np
 from ..codec import grammar as G
 from ..models import txl
 from ..models.config import TXLConfig
-from ..ops.sampling import FILTER_VALUE, num_choices, sample_categorical, top_k_top_p
+from ..ops.sampling import FILTER_VALUE, filter_sample_sorted
 from ..vocab import SAMPLE_FREQ, MusicVocab
 
 
@@ -49,6 +49,8 @@ class SamplerSettings:
     pos_stop: bool = False     # stop past a max position (predict_s2s)
     eos_stop: bool = False     # stop on sampled EOS (predict_s2s)
     kv_int8: bool = False      # int8-quantized KV cache (halved HBM footprint)
+    fused: bool = False        # multi-row Pallas decoder-stack kernel
+    rows_per_cell: int = 8     # batch rows per fused-kernel grid cell
 
 
 class DecodeTables(NamedTuple):
@@ -128,15 +130,12 @@ def sample_next_token(
     ok = ok & allowed_ins[None, :]
     logits = jnp.where(ok, logits, FILTER_VALUE)
 
-    logits = top_k_top_p(logits, settings.top_k, top_p)
-
-    if settings.greedy:
-        idx = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    else:
-        idx = sample_categorical(rng, logits).astype(jnp.int32)
+    # fused single-sort top-k/top-p filter + draw (+ survivor count)
+    idx, nc = filter_sample_sorted(rng, logits, settings.top_k, top_p,
+                                   greedy=settings.greedy)
+    idx = idx.astype(jnp.int32)
 
     # repeat-count bookkeeping
-    nc = num_choices(logits)
     repeat_count = jnp.where(nc <= 2, st.repeat_count + 1, st.repeat_count // 2)
 
     # beat position: a duration following xxsep advances the song position
@@ -192,17 +191,12 @@ def generate_compiled(
     settings: SamplerSettings,
     window: int,
     mem_len: int,
+    stacked=None,                # StackedTXL when settings.fused
 ):
     """Prefill + fused sampling scan. Returns (tokens (B, n_words), lengths (B,))."""
     B = window_toks.shape[0]
     logits, cache0 = txl.prefill(params, cfg, window_toks, window_pad,
                                  pos=window_pos, mem_len=mem_len)
-    cache = txl.ring_from_prefill(cache0, cfg)
-    if settings.kv_int8:
-        cache = txl.quantize_ring(cache)
-    wkr_all = txl.precompute_wkr(params, cfg, mem_len)
-    step_fn = txl.decode_step_ring_q if settings.kv_int8 else txl.decode_step_ring
-
     prev0 = window_toks[:, -1]
     st0 = SampleState(
         prev_tok=prev0.astype(jnp.int32),
@@ -213,6 +207,51 @@ def generate_compiled(
         done=jnp.zeros((B,), bool),
         n_emitted=jnp.zeros((B,), jnp.int32),
     )
+
+    if settings.fused:
+        # multi-row Pallas decoder stack: whole layer sweep in one kernel,
+        # ring caches updated in place (ops/fused_decode.py)
+        from ..ops.fused_decode import fused_multirow_core
+        L, H, Dh = cfg.n_layers, cfg.n_heads, cfg.d_head
+        HD = H * Dh
+        M = mem_len
+        ring = txl.ring_from_prefill(cache0, cfg)
+        kt = ring.k.transpose(0, 1, 2, 4, 3).reshape(L, B, HD, M)
+        vc = ring.v.transpose(0, 1, 3, 2, 4).reshape(L, B, M, HD)
+        wkr_f = txl.precompute_wkr(params, cfg, M) \
+            .transpose(0, 1, 3, 2).reshape(L, HD, M + 1)
+        embed32 = params["embed"].astype(jnp.float32)
+        head_b = params.get("head_b")
+
+        def step(carry, i):
+            kt, vc, g, ptr, g_cur, st, logits, rng = carry
+            rng, sub = jax.random.split(rng)
+            step_frac = i.astype(jnp.float32) / settings.n_words
+            idx, st = sample_next_token(logits, st, tables, temperatures,
+                                        top_p, min_bars, allowed_ins, sub,
+                                        settings, step_frac)
+            dist = g_cur - g
+            blocked = ((dist < 1) | (dist > M)).astype(jnp.int32)
+            h_out, kt, vc = fused_multirow_core(
+                stacked, cfg, embed32[idx], wkr_f, kt, vc, blocked, ptr, M,
+                rows_per_cell=settings.rows_per_cell)
+            logits = h_out @ embed32.T
+            if head_b is not None:
+                logits = logits + head_b
+            g = jax.lax.dynamic_update_slice(
+                g, jnp.broadcast_to(g_cur, (B, 1)).astype(jnp.int32), (0, ptr))
+            return (kt, vc, g, (ptr + 1) % M, g_cur + 1, st, logits, rng), idx
+
+        carry0 = (kt, vc, ring.g, ring.ptr, ring.g_cur, st0, logits, rng)
+        (*_, st, _, _), toks = jax.lax.scan(step, carry0,
+                                            jnp.arange(settings.n_words))
+        return toks.T, st.n_emitted
+
+    cache = txl.ring_from_prefill(cache0, cfg)
+    if settings.kv_int8:
+        cache = txl.quantize_ring(cache)
+    wkr_all = txl.precompute_wkr(params, cfg, mem_len)
+    step_fn = txl.decode_step_ring_q if settings.kv_int8 else txl.decode_step_ring
 
     def step(carry, i):
         cache, st, logits, rng = carry
@@ -265,6 +304,25 @@ class GenerationEngine:
         self.cfg = cfg
         self.vocab = vocab
         self._tables = {}
+        self._stacked = None
+
+    def _fused_ok(self, B: int, kv_int8: bool, rows_per_cell: int = 8) -> bool:
+        """The multi-row Pallas decode kernel applies when: TPU backend, bf16
+        bias-free config without beat-position embeddings (the genre flagship
+        shape), batch divisible by the cell row count, unsharded, bf16 cache."""
+        return (jax.default_backend() == "tpu"
+                and self.mesh is None
+                and not kv_int8
+                and self.cfg.dtype == "bfloat16"
+                and not self.cfg.bias
+                and not self.cfg.encode_position
+                and B % rows_per_cell == 0)
+
+    def stacked(self):
+        if self._stacked is None:
+            from ..ops.fused_decode import stack_txl_layers
+            self._stacked = stack_txl_layers(self.params)
+        return self._stacked
 
     def tables(self, temp_mode: str) -> DecodeTables:
         if temp_mode not in self._tables:
@@ -333,9 +391,10 @@ class GenerationEngine:
 
         if len(temperatures) == 2:
             temperatures = (temperatures[0], temperatures[1], temperatures[1])
+        fused = self._fused_ok(B, kv_int8)
         settings = SamplerSettings(n_words=n_words, top_k=top_k,
                                    temp_mode=temp_mode, greedy=greedy,
-                                   kv_int8=kv_int8)
+                                   kv_int8=kv_int8, fused=fused)
         tables = self.tables(temp_mode)
         from ..codec.grammar import allowed_ins_mask
         ins_mask = jnp.asarray(allowed_ins_mask(self.vocab, allowed_ins))
@@ -366,6 +425,7 @@ class GenerationEngine:
             jnp.asarray(np.asarray(temperatures, np.float32)),
             jnp.asarray(np.float32(top_p)), jnp.asarray(np.int32(min_bars)),
             ins_mask, jax.random.PRNGKey(seed), settings,
-            window=W, mem_len=mem_len)
+            window=W, mem_len=mem_len,
+            stacked=self.stacked() if fused else None)
         self.last_sharding = out.sharding  # inspectable by callers/tests
         return np.asarray(out)[:B], np.asarray(lengths)[:B]

@@ -27,7 +27,8 @@ import numpy as np
 from ..codec.grammar import allowed_ins_mask
 from ..models import multitask as mt
 from ..models.config import MultitaskConfig
-from ..ops.sampling import FILTER_VALUE, num_choices, sample_categorical, top_k_top_p
+from ..ops.sampling import (FILTER_VALUE, filter_sample_sorted,
+                            sample_categorical, top_k_top_p)
 from ..vocab import SAMPLE_FREQ, MusicVocab
 from .engine import DecodeTables, SampleState, SamplerSettings, build_tables, sample_next_token
 
@@ -84,13 +85,9 @@ def _predict_mask_compiled(
         cls = tables.prev_class[prev]
         ok = tables.allowed[cls, jnp.zeros_like(cls)]  # last_xxsep=False here
         logits = jnp.where(ok, logits, FILTER_VALUE)
-        logits = top_k_top_p(logits, top_k, top_p)
         rng, sub = jax.random.split(rng)
-        if greedy:
-            idx = jnp.argmax(logits, axis=-1).astype(x.dtype)
-        else:
-            idx = sample_categorical(sub, logits).astype(x.dtype)
-        nc = num_choices(logits)
+        idx, nc = filter_sample_sorted(sub, logits, top_k, top_p, greedy=greedy)
+        idx = idx.astype(x.dtype)
         repeat_count = jnp.where(active,
                                  jnp.where(nc <= 2, repeat_count + 1, repeat_count // 2),
                                  repeat_count)

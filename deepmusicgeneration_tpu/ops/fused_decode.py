@@ -412,3 +412,253 @@ def fused_batched_decode(
     kt2 = jax.lax.dynamic_update_slice(kt, k_new, (0, 0, 0, 0, ptr2))
     vc2 = jax.lax.dynamic_update_slice(vc, v_new, (0, 0, 0, ptr2, 0))
     return h_out, kt2, vc2
+
+
+# ---------------------------------------------------------------------------
+# Multi-row batched variant — the production batched-decode kernel.
+#
+# Round-1 diagnosis (ROADMAP): the (L, B) grid ran 512 cells/step, each doing
+# B=1 matvecs — per-cell overhead and tiny-matvec issue latency dominated
+# (≈4% of HBM bandwidth). This kernel processes R rows per cell:
+#   * grid (L, B/R): 8× fewer cells at R=8,
+#   * QKV / out / FFN projections are real (R, D)-row MXU matmuls,
+#   * per-head attention scores avoid B·H separate matvecs via head-masked
+#     2-D matmuls: a block-expanded query (H, H·Dh) — rows zeroed outside
+#     their head's column block — against the row's full K panel (H·Dh, M)
+#     yields the exact (H, M) score matrix in ONE MXU op; the relative-term
+#     scores batch ALL R·H rows against the shared W_kr panel in one matmul,
+#   * the P·V contraction likewise runs per row as (H, M) @ (M, H·Dh) with a
+#     head-mask + sublane reduction picking out the diagonal blocks.
+# Cache layouts are chosen so every kernel operand is a 2-D lane-aligned
+# panel AND writable in place: K as (L, B, H·Dh, M) (lane-major for the score
+# matmul), V as (L, B, M, H·Dh) (slot-major for the P·V matmul). Single-slot
+# HBM DMA writes are illegal on TPU (both lane and sublane slices must align
+# to the (8/16, 128) tiling), so each cache's new ring entry is merged into
+# the VMEM block with an iota select and the block written back through the
+# blocked output — Pallas pipelines the write-back DMA behind the next cell's
+# compute. Mathematically identical to `models.txl.decode_step_ring` (tested).
+# ---------------------------------------------------------------------------
+
+def _make_multirow_kernel(cfg, M: int, R: int):
+    H, Dh, D, Dff = cfg.n_heads, cfg.d_head, cfg.d_model, cfg.d_inner
+    HD = H * Dh
+    RH = R * H
+    scale = 1.0 / math.sqrt(Dh) if cfg.scale else 1.0
+    act = cfg.act
+
+    def _expand_rows(x, reps, cols):
+        # (R, cols) -> (R*reps, cols): each row repeated `reps` times
+        return jnp.broadcast_to(x[:, None, :], (R, reps, cols)).reshape(R * reps, cols)
+
+    def kernel(ptr_ref,
+               qkv_w, out_w, ff1_w, ff1_b, ff2_w, ff2_b,
+               ln1_g, ln1_b, ln2_g, ln2_b,
+               wkr_f,                           # (1, HD, M+1)
+               u_ref, v_ref,                    # (1, HD)
+               kt, vc,                          # (1, R, HD, M) / (1, R, M, HD)
+               h_in,                            # (R, D) block
+               blocked,                         # (R, M) block, int32
+               h_out, kt_out, vc_out,           # (R, D) fp32; caches (aliased)
+               h_scr, sc_scr, attn_scr):
+        li = pl.program_id(0)
+        bi = pl.program_id(1)
+        p = ptr_ref[0, 0]
+
+        @pl.when(li == 0)
+        def _init():
+            h_scr[pl.ds(bi * R, R), :] = h_in[:, :].astype(jnp.float32)
+
+        h32 = h_scr[pl.ds(bi * R, R), :]                     # (R, D)
+        hb = h32.astype(qkv_w.dtype)
+        qkv = jnp.dot(hb, qkv_w[0], preferred_element_type=jnp.float32)  # (R, 3HD)
+        q = qkv[:, 0:HD]
+        k1 = qkv[:, HD:2 * HD]
+        v1 = qkv[:, 2 * HD:3 * HD]
+        # Ring-slot cache update, fully in-kernel (aliased input/outputs; an
+        # XLA dynamic_update_slice after the pallas call forced a full cache
+        # copy per step — the custom-call blocks XLA's in-place analysis).
+        # Reshapes happen while still fp32 (Mosaic only supports non-no-op
+        # minor-dim insertion for 32-bit types), then cast to the cache dtype.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, M), 2)
+        k1c = k1.reshape(R, HD, 1).astype(kt.dtype)
+        kt_out[0] = jnp.where(lane == p, k1c, kt[0])
+        slot = jax.lax.broadcasted_iota(jnp.int32, (1, M, 1), 1)
+        v1r = v1.reshape(R, 1, HD).astype(vc.dtype)
+        vc_out[0] = jnp.where(slot == p, v1r, vc[0])
+
+        qu = q.astype(qkv_w.dtype) + u_ref[:, :]             # (R, HD) bf16
+        qv = q.astype(qkv_w.dtype) + v_ref[:, :]
+        # head mask over (RH, HD): row (r, h) keeps only head h's Dh columns
+        rowhead = jax.lax.broadcasted_iota(jnp.int32, (RH, HD), 0) % H
+        colhead = jax.lax.broadcasted_iota(jnp.int32, (RH, HD), 1) // Dh
+        hm = rowhead == colhead
+        qu2 = jnp.where(hm, _expand_rows(qu, H, HD), 0)      # (RH, HD)
+        qv2 = jnp.where(hm, _expand_rows(qv, H, HD), 0)
+
+        # relative-position scores for all R·H rows at once: the W_kr panel is
+        # layer-shared, so one (RH, HD) @ (HD, M+1) matmul covers the cell
+        sd = jnp.dot(qv2, wkr_f[0], preferred_element_type=jnp.float32)  # (RH, M+1)
+        # self-attention content score (distance 0)
+        k1rep = _expand_rows(k1, H, HD)                      # (RH, HD) fp32
+        selfac = jnp.sum(qu2.astype(jnp.float32) * k1rep, axis=-1,
+                         keepdims=True)                      # (RH, 1)
+
+        # content scores per row: (H, HD) @ (HD, M) — exact per-head scores
+        # because qu2 rows are zero outside their head block
+        for r in range(R):
+            ac_r = jnp.dot(qu2[r * H:(r + 1) * H, :], kt[0, r],
+                           preferred_element_type=jnp.float32)  # (H, M)
+            sc_scr[pl.ds(r * H, H), 0:M] = ac_r
+
+        ac = sc_scr[0:RH, 0:M]
+        bd = pltpu.roll(sd[:, :M], p, 1)
+        blk2 = _expand_rows(blocked[:, :], H, M) != 0        # (RH, M)
+        score = jnp.where(blk2, NEG_INF, (ac + bd) * scale)
+        self_score = (selfac + sd[:, M:M + 1]) * scale       # (RH, 1)
+        m = jnp.maximum(jnp.max(score, axis=-1, keepdims=True), self_score)
+        e = jnp.exp(score - m)                               # (RH, M)
+        e_self = jnp.exp(self_score - m)                     # (RH, 1)
+        denom = jnp.sum(e, axis=-1, keepdims=True) + e_self  # (RH, 1)
+
+        hm_h = hm[0:H, :]                                    # (H, HD)
+        for r in range(R):
+            lo, hi = r * H, (r + 1) * H
+            pv = jnp.dot(e[lo:hi, :].astype(vc.dtype), vc[0, r],
+                         preferred_element_type=jnp.float32)  # (H, HD) all-head
+            num = jnp.sum(jnp.where(hm_h, pv, 0), axis=0, keepdims=True)  # (1, HD)
+            w_self = jnp.sum(jnp.where(hm_h, e_self[lo:hi, :], 0), axis=0,
+                             keepdims=True)                  # (1, HD) per-lane e_self
+            d_lane = jnp.sum(jnp.where(hm_h, denom[lo:hi, :], 0), axis=0,
+                             keepdims=True)                  # (1, HD) per-lane denom
+            attn_scr[pl.ds(r, 1), :] = (num + w_self * v1[r:r + 1, :]) / d_lane
+
+        attn_all = attn_scr[0:R, :].astype(hb.dtype)
+        out = jnp.dot(attn_all, out_w[0], preferred_element_type=jnp.float32)
+        h1 = _ln(h32 + out, ln1_g[0], ln1_b[0])
+        ffx = jnp.dot(h1.astype(hb.dtype), ff1_w[0], preferred_element_type=jnp.float32)
+        ffx = ffx + ff1_b[0].astype(jnp.float32)
+        if act == "gelu":
+            c = math.sqrt(2.0 / math.pi)
+            ffx = 0.5 * ffx * (1.0 + jnp.tanh(c * (ffx + 0.044715 * ffx ** 3)))
+        else:
+            ffx = jnp.maximum(ffx, 0.0)
+        ffy = jnp.dot(ffx.astype(hb.dtype), ff2_w[0], preferred_element_type=jnp.float32)
+        ffy = ffy + ff2_b[0].astype(jnp.float32)
+        h2 = _ln(h1 + ffy, ln2_g[0], ln2_b[0])
+        h_scr[pl.ds(bi * R, R), :] = h2
+        h_out[:, :] = h2
+
+    return kernel
+
+
+def fused_multirow_core(
+    stacked: StackedTXL,
+    cfg,
+    h_in: jnp.ndarray,       # (B, D) fp32 embedded tokens
+    wkr_f: jnp.ndarray,      # (L, HD, M+1) bf16 flattened W_kr panels
+    kt: jnp.ndarray,         # (L, B, HD, M) bf16
+    vc: jnp.ndarray,         # (L, B, M, HD) bf16
+    blocked: jnp.ndarray,    # (B, M) int32
+    ptr: jnp.ndarray,        # () int32
+    mem_len: int,
+    rows_per_cell: int = 8,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Un-jitted core (called from inside the engine's compiled scan).
+
+    Returns (h_out (B, D) fp32, kt', vc'). The updated caches are fresh
+    outputs (ping-pong dataflow): every block is rewritten with the ring slot
+    merged in, and the scan carries the new buffers — XLA alternates the two
+    buffers with no copy. Alternatives measured at B=64/mem 512 on v5e:
+    an XLA dynamic_update_slice after the call forces a full cache copy per
+    step (34 ms/step; the custom call blocks in-place analysis), and
+    input_output_aliases ALSO lowers to copies under lax.scan (27 ms/step).
+    Ping-pong costs one cache write per read (both pipelined by Pallas behind
+    compute) and no copies.
+    """
+    L, D, Dff = cfg.n_layers, cfg.d_model, cfg.d_inner
+    H, Dh, M = cfg.n_heads, cfg.d_head, mem_len
+    HD = H * Dh
+    B = h_in.shape[0]
+    R = rows_per_cell
+    assert B % R == 0, f"batch {B} must divide rows_per_cell {R}"
+
+    lspec = lambda shape: pl.BlockSpec(
+        (1, *shape), lambda i, b: (i, *([0] * len(shape))), memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = _make_multirow_kernel(cfg, M, R)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(L, B // R),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, b: (0, 0), memory_space=pltpu.SMEM),
+            lspec((D, 3 * HD)), lspec((HD, D)),
+            lspec((D, Dff)), lspec((1, Dff)),
+            lspec((Dff, D)), lspec((1, D)),
+            lspec((1, D)), lspec((1, D)), lspec((1, D)), lspec((1, D)),
+            lspec((HD, M + 1)),
+            full(), full(),
+            pl.BlockSpec((1, R, HD, M), lambda i, b: (i, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, M, HD), lambda i, b: (i, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, D), lambda i, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M), lambda i, b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, D), lambda i, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, HD, M), lambda i, b: (i, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, M, HD), lambda i, b: (i, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32),
+                        pltpu.VMEM((R * H, M), jnp.float32),
+                        pltpu.VMEM((R, HD), jnp.float32)],
+    )
+    h_out, kt2, vc2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct(kt.shape, kt.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+        ],
+        # operand 14 = kt → output 1, operand 15 = vc → output 2: inside the
+        # decode scan the carry buffer is updated in place (without this, XLA
+        # materializes the custom-call outputs and copies them back into the
+        # while-loop carry — a full extra cache read+write per step)
+        input_output_aliases={14: 1, 15: 2},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(jnp.reshape(ptr, (1, 1)),
+      stacked.qkv_w, stacked.out_w, stacked.ff1_w, stacked.ff1_b,
+      stacked.ff2_w, stacked.ff2_b,
+      stacked.ln1_g, stacked.ln1_b, stacked.ln2_g, stacked.ln2_b,
+      wkr_f, stacked.u, stacked.v, kt, vc, h_in, blocked)
+    return h_out, kt2, vc2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mem_len", "rows_per_cell", "interpret"),
+                   donate_argnums=(4, 5))
+def fused_multirow_decode(
+    stacked: StackedTXL,
+    cfg,
+    h_in: jnp.ndarray,
+    wkr_f: jnp.ndarray,
+    kt: jnp.ndarray,
+    vc: jnp.ndarray,
+    blocked: jnp.ndarray,
+    ptr: jnp.ndarray,
+    mem_len: int,
+    rows_per_cell: int = 8,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Jitted wrapper (tests/standalone use): returns (h_out, kt', vc')."""
+    return fused_multirow_core(
+        stacked, cfg, h_in, wkr_f, kt, vc, blocked, jnp.reshape(ptr, ()),
+        mem_len, rows_per_cell=rows_per_cell, interpret=interpret)

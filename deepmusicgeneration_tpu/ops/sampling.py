@@ -52,6 +52,51 @@ def sample_categorical(rng: jax.Array, logits: jnp.ndarray) -> jnp.ndarray:
     return jax.random.categorical(rng, logits, axis=-1)
 
 
+def filter_sample_sorted(rng: jax.Array, logits: jnp.ndarray, top_k: int,
+                         top_p, greedy: bool = False):
+    """Fused top-k + top-p + categorical sample in ONE sort.
+
+    The separate ``top_k_filter`` → ``top_p_filter`` → ``sample_categorical``
+    pipeline costs four sorting networks per decode step (lax.top_k, sort,
+    argsort, inverse argsort) — measured ~1.4 ms/step at B=64 on v5e, more
+    than the entire 41M fused model step. Here one stable key/value sort
+    yields descending logits AND their vocab indices; both filters become
+    positional masks in sorted space; the categorical draw happens in sorted
+    space and the winner maps back through the index payload.
+
+    Filter-set semantics match the reference exactly (deep_music_genre.py:
+    1679-1706): top-k keeps ties at the k-th value; top-p drops tokens whose
+    shifted descending-cumulative probability exceeds the threshold.
+
+    Returns ``(idx (B,) int32, n_kept (B,) int32)``.
+    """
+    V = logits.shape[-1]
+    iota = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), logits.shape)
+    # stable ascending sort of -logits == descending logits, argmax-compatible
+    # tie order (lowest vocab id first)
+    neg_sorted, order = jax.lax.sort((-logits, iota), dimension=-1, num_keys=1)
+    slog = -neg_sorted
+    keep = slog > FILTER_VALUE / 2          # grammar-banned rows stay dead
+    if top_k > 0 and top_k < V:
+        kth = slog[..., top_k - 1:top_k]
+        keep = keep & (slog >= kth)         # ties at the threshold survive
+    # nucleus mass is measured on the top-k-FILTERED distribution, exactly as
+    # the reference chains the two filters (deep_music_genre.py:1696-1700)
+    filt = jnp.where(keep, slog, FILTER_VALUE)
+    top_p = jnp.asarray(top_p)
+    cum = jnp.cumsum(jax.nn.softmax(filt, axis=-1), axis=-1)
+    remove = jnp.concatenate(
+        [jnp.zeros_like(keep[..., :1]), cum[..., :-1] > top_p], axis=-1)
+    keep = keep & ~jnp.where(top_p > 0.0, remove, jnp.zeros_like(remove))
+    filt = jnp.where(keep, slog, FILTER_VALUE)
+    if greedy:
+        spos = jnp.zeros(logits.shape[:-1], jnp.int32)  # sorted pos 0 == argmax
+    else:
+        spos = jax.random.categorical(rng, filt, axis=-1).astype(jnp.int32)
+    idx = jnp.take_along_axis(order, spos[..., None], axis=-1)[..., 0]
+    return idx, keep.sum(axis=-1)
+
+
 def num_choices(logits: jnp.ndarray) -> jnp.ndarray:
     """Count of tokens surviving the filters (reference: nonzero probs)."""
     return (logits > FILTER_VALUE / 2).sum(axis=-1)

@@ -70,6 +70,58 @@ def test_fused_kernel_matches_ring(setup):
         np.asarray(ref_cache.v.astype(jnp.float32)), atol=0.05)
 
 
+def test_multirow_fused_kernel_matches_ring(setup):
+    """The production multi-row kernel (grid (L, B/R)) against the XLA ring
+    step: B=16, R=8 → 2 row-cells per layer, per-row blocked masks differ."""
+    from deepmusicgeneration_tpu.ops.fused_decode import fused_multirow_decode
+    cfg, params = setup
+    M = cfg.mem_len
+    L, H, Dh = cfg.n_layers, cfg.n_heads, cfg.d_head
+    HD = H * Dh
+    B, R = 16, 8
+    rng = np.random.default_rng(3)
+    k = jnp.asarray(rng.normal(scale=0.5, size=(L, B, H, M, Dh)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(scale=0.5, size=(L, B, H, M, Dh)), jnp.bfloat16)
+    # per-row distinct valid counts: row b has M - b valid slots
+    g_rows = []
+    for b in range(B):
+        g_row = np.arange(M) - M
+        g_row[:b] = txl.PAD_G  # first b slots invalid
+        g_rows.append(g_row)
+    g = jnp.asarray(np.stack(g_rows), jnp.int32)
+    ptr = jnp.asarray(7, jnp.int32)
+    cache = txl.RingKVCache(k=k, v=v, g=g, ptr=ptr, g_cur=jnp.asarray(7, jnp.int32))
+    wkr = txl.precompute_wkr(params, cfg, M)
+    toks = jnp.asarray(rng.integers(12, 140, B), jnp.int32)
+    ref_logits, ref_cache = txl.decode_step_ring(
+        params, cfg, toks, jnp.zeros((B,), jnp.int32), cache, wkr)
+
+    stacked = stack_txl_layers(params)
+    h_in = params["embed"][toks].astype(jnp.float32)
+    dist = cache.g_cur - cache.g
+    blocked = ((dist < 1) | (dist > M)).astype(jnp.int32)
+    # fused layouts: K (L, B, HD, M), V (L, B, M, HD), wkr (L, HD, M+1)
+    kt = k.transpose(0, 1, 2, 4, 3).reshape(L, B, HD, M)
+    vc = v.transpose(0, 1, 3, 2, 4).reshape(L, B, M, HD)
+    wkr_f = wkr.transpose(0, 1, 3, 2).reshape(L, HD, M + 1)
+    h_out, kt2, vc2 = fused_multirow_decode(
+        stacked, cfg, h_in, wkr_f, kt, vc, blocked, ptr, M,
+        rows_per_cell=R, interpret=True)
+    logits = h_out @ params["embed"].T.astype(jnp.float32) + params["head_b"]
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=0.08, rtol=0.02)
+    assert (np.argmax(np.asarray(logits), -1)
+            == np.argmax(np.asarray(ref_logits), -1)).all()
+    # cache slot updates match the ring reference (layout round-trip)
+    ref_kt = np.asarray(ref_cache.k.transpose(0, 1, 2, 4, 3)
+                        .reshape(L, B, HD, M).astype(jnp.float32))
+    ref_vc = np.asarray(ref_cache.v.transpose(0, 1, 3, 2, 4)
+                        .reshape(L, B, M, HD).astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(kt2.astype(jnp.float32)), ref_kt, atol=0.05)
+    np.testing.assert_allclose(np.asarray(vc2.astype(jnp.float32)), ref_vc, atol=0.05)
+
+
 def test_batched_fused_kernel_matches_ring(setup):
     from deepmusicgeneration_tpu.ops.fused_decode import fused_batched_decode
     cfg, params = setup
