@@ -146,6 +146,35 @@ def filter_invalid_indexes(logits: np.ndarray, prev_idx: int, vocab: MusicVocab,
     return out
 
 
+def grammar_violations(idxenc, vocab: MusicVocab, prev_idx: Optional[int] = None,
+                       last_xxsep: bool = False, strict: bool = False) -> int:
+    """Count transitions that filter_invalid_indexes would have banned.
+
+    Walks a *continuation* ``idxenc`` through the same state machine the
+    compiled engines apply per step (class table + last_xxsep flag), given the
+    token that precedes it. With ``prev_idx=None`` the first token seeds the
+    state unchecked. Used to measure grammar-validity of samples generated
+    WITHOUT the strict tables (the trained-model quality bar: the reference's
+    non-strict rules never ban tempo/dummy tokens, so emitting none of them —
+    and no other violation — must come from the model itself).
+    """
+    cls_tab = prev_class_table(vocab)
+    tab = allowed_table(vocab, strict=strict)
+    seq = [int(t) for t in np.asarray(idxenc).ravel()]
+    if prev_idx is None:
+        if not seq:
+            return 0
+        prev_idx, seq = seq[0], seq[1:]
+    prev = int(prev_idx)
+    bad = 0
+    for t in seq:
+        last_xxsep = update_last_xxsep(prev, last_xxsep, vocab)
+        if not tab[cls_tab[prev], int(last_xxsep), t]:
+            bad += 1
+        prev = t
+    return bad
+
+
 def temp_slot_table(vocab: MusicVocab, mode: str = "genre") -> np.ndarray:
     """(vocab,) int32: temperature slot to use given the previous token.
 

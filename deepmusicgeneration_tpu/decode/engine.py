@@ -286,11 +286,17 @@ class GenerationEngine:
     """
 
     def __init__(self, params: Dict, cfg: TXLConfig, vocab: MusicVocab,
-                 cast_bf16: Optional[bool] = None, mesh=None):
+                 cast_bf16: Optional[bool] = None, mesh=None,
+                 strict_grammar: bool = True):
         """``mesh``: a mesh with a ``dp`` axis. When given, params are
         replicated across it and ``generate_batch`` shards the batch axis over
         dp (batch rows padded up to a dp multiple) — data-parallel serving,
-        the inference analogue of the reference's DDP training (SURVEY §2.5)."""
+        the inference analogue of the reference's DDP training (SURVEY §2.5).
+
+        ``strict_grammar=False`` uses the reference's exact
+        filter_invalid_indexes tables (tempo/dummy tokens stay legal,
+        deep_music_genre.py:1984-2018) — the evaluation setting for trained
+        models, whose quality bar is emitting zero such tokens unforced."""
         if cast_bf16 is None:
             cast_bf16 = cfg.dtype == "bfloat16"
         if cast_bf16:
@@ -303,6 +309,7 @@ class GenerationEngine:
         self.params = params
         self.cfg = cfg
         self.vocab = vocab
+        self.strict_grammar = strict_grammar
         self._tables = {}
         self._stacked = None
 
@@ -326,7 +333,8 @@ class GenerationEngine:
 
     def tables(self, temp_mode: str) -> DecodeTables:
         if temp_mode not in self._tables:
-            self._tables[temp_mode] = build_tables(self.vocab, temp_mode)
+            self._tables[temp_mode] = build_tables(self.vocab, temp_mode,
+                                                   strict=self.strict_grammar)
         return self._tables[temp_mode]
 
     def generate(

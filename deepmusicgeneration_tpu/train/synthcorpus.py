@@ -1,0 +1,312 @@
+"""Synthetic grammar-valid training corpus with learnable musical structure.
+
+The reference trains on the Lakh MIDI dataset (README "Dataset" section); that
+corpus is not available in this environment, so generalization experiments use
+a procedurally generated corpus instead: every song is drawn from a structured
+generative process (key, scale, genre-specific chord progressions, phrase
+repetition, per-genre instrumentation and rhythm statistics), giving a model
+real regularities to learn while held-out songs from the same process measure
+generalization rather than memorization.
+
+Songs are emitted as npenc arrays through the production codec
+(:func:`..codec.encode.notes2chordarr` → :func:`chordarr2npenc`), so corpus
+files are bit-compatible with the MIDI preprocessing cache
+(`train/preprocess.py::process_file`): the instrument column holds ACCEP_INS
+class ids and genre comes from the parent directory name, exactly like the
+reference's OpenNPFileProcessor (deep_music_genre.py:982-986).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..codec.encode import chordarr2npenc, notes2chordarr
+from ..codec.validate import is_valid_npenc
+from ..vocab import ACCEP_INS, MAX_NOTE_DUR, N_INS, SAMPLE_FREQ
+
+STEPS_PER_BAR = SAMPLE_FREQ * 4  # 16
+
+MAJOR = [0, 2, 4, 5, 7, 9, 11]
+MINOR = [0, 2, 3, 5, 7, 8, 10]
+DORIAN = [0, 2, 3, 5, 7, 9, 10]
+MIXOLYDIAN = [0, 2, 4, 5, 7, 9, 10]
+
+PIANO, GUITAR, BASS, WOODWIND, BRASS, STRING, MISC = range(N_INS)
+
+# Per-genre generative statistics. `progressions` are scale-degree loops;
+# `melody_durs` are (duration_steps, weight) pairs; `comp` selects the
+# accompaniment pattern; `seventh` adds the 7th chord tone (jazz voicings).
+GENRE_STYLES: Dict[str, dict] = {
+    "electronic": dict(
+        scales=[MINOR], melody_ins=PIANO, comp_ins=PIANO, bass_ins=BASS,
+        progressions=[[0, 5, 3, 4], [0, 3, 5, 4], [5, 3, 0, 4]],
+        melody_durs=[(2, 0.55), (4, 0.35), (8, 0.10)],
+        comp="arp", bass="eighths", seventh=False, tempo_bias=0,
+    ),
+    "folk": dict(
+        scales=[MAJOR, MIXOLYDIAN], melody_ins=STRING, comp_ins=GUITAR,
+        bass_ins=BASS,
+        progressions=[[0, 3, 4, 0], [0, 4, 5, 3], [0, 0, 3, 4]],
+        melody_durs=[(4, 0.45), (8, 0.35), (2, 0.10), (12, 0.10)],
+        comp="strum", bass="roots", seventh=False, tempo_bias=1,
+    ),
+    "funk": dict(
+        scales=[DORIAN, MIXOLYDIAN], melody_ins=BRASS, comp_ins=GUITAR,
+        bass_ins=BASS,
+        progressions=[[0, 0, 3, 3], [0, 3, 0, 4], [0, 0, 0, 0]],
+        melody_durs=[(2, 0.45), (1, 0.20), (4, 0.25), (6, 0.10)],
+        comp="stabs", bass="sixteenth_syncopated", seventh=True, tempo_bias=0,
+    ),
+    "jazz": dict(
+        scales=[MAJOR, DORIAN], melody_ins=WOODWIND, comp_ins=PIANO,
+        bass_ins=BASS,
+        progressions=[[1, 4, 0, 0], [1, 4, 0, 5], [0, 5, 1, 4]],
+        melody_durs=[(2, 0.35), (4, 0.30), (6, 0.20), (8, 0.15)],
+        comp="shell", bass="walking", seventh=True, tempo_bias=0,
+    ),
+    "pop": dict(
+        scales=[MAJOR], melody_ins=PIANO, comp_ins=PIANO, bass_ins=BASS,
+        progressions=[[0, 4, 5, 3], [0, 5, 3, 4], [3, 0, 4, 5]],
+        melody_durs=[(4, 0.45), (2, 0.30), (8, 0.20), (12, 0.05)],
+        comp="block", bass="roots_fifths", seventh=False, tempo_bias=0,
+    ),
+    "rock": dict(
+        scales=[MINOR, MIXOLYDIAN], melody_ins=GUITAR, comp_ins=GUITAR,
+        bass_ins=BASS,
+        progressions=[[0, 6, 3, 4], [0, 3, 4, 4], [0, 5, 6, 4]],
+        melody_durs=[(2, 0.40), (4, 0.40), (8, 0.20)],
+        comp="power", bass="eighths", seventh=False, tempo_bias=-1,
+    ),
+}
+
+Note = Tuple[int, int, int]  # (pitch, offset_step, dur_steps)
+
+
+def _degree_pitch(scale: List[int], root: int, degree: int) -> int:
+    """Absolute pitch for a (possibly out-of-octave) scale degree."""
+    octave, idx = divmod(degree, len(scale))
+    return root + 12 * octave + scale[idx]
+
+
+def _chord_tones(scale, root, degree, seventh: bool) -> List[int]:
+    tones = [_degree_pitch(scale, root, degree + off) for off in (0, 2, 4)]
+    if seventh:
+        tones.append(_degree_pitch(scale, root, degree + 6))
+    return tones
+
+
+def _melody_phrase(rng, scale, root, chords, n_bars, durs) -> List[Note]:
+    """Random-walk melody over the scale; chord tones favoured on strong beats."""
+    dur_vals = np.array([d for d, _ in durs])
+    dur_p = np.array([w for _, w in durs], dtype=float)
+    dur_p /= dur_p.sum()
+    notes: List[Note] = []
+    deg = int(rng.integers(7, 15))  # melody register ~1-2 octaves up
+    step = 0
+    end = n_bars * STEPS_PER_BAR
+    while step < end:
+        bar = step // STEPS_PER_BAR
+        chord_deg = chords[bar % len(chords)]
+        dur = int(rng.choice(dur_vals, p=dur_p))
+        dur = min(dur, end - step)
+        on_beat = step % SAMPLE_FREQ == 0
+        if on_beat and rng.random() < 0.6:
+            # snap to the nearest chord tone (strong-beat consonance)
+            choices = [chord_deg, chord_deg + 2, chord_deg + 4]
+            deg = min((c + 7 for c in choices),
+                      key=lambda c: abs(c - deg))
+        else:
+            deg += int(rng.integers(-2, 3))
+        deg = int(np.clip(deg, 5, 20))
+        if rng.random() > 0.12:  # 12% rests
+            pitch = _degree_pitch(scale, root, deg)
+            notes.append((int(np.clip(pitch, 24, 102)), step, dur))
+        step += dur
+    return notes
+
+
+def _comp_phrase(rng, scale, root, chords, n_bars, mode, seventh) -> List[Note]:
+    notes: List[Note] = []
+    for bar in range(n_bars):
+        deg = chords[bar % len(chords)]
+        tones = _chord_tones(scale, root, deg, seventh)
+        base = bar * STEPS_PER_BAR
+        if mode == "block":          # whole/half-bar block chords
+            for half in (0, 8) if rng.random() < 0.5 else (0,):
+                dur = 8 if half == 0 and rng.random() < 0.5 else 16 - half
+                for t in tones:
+                    notes.append((t, base + half, min(dur, 16 - half)))
+        elif mode == "strum":        # chord on each beat
+            for beat in range(4):
+                for t in tones:
+                    notes.append((t, base + beat * 4, 4))
+        elif mode == "arp":          # 8th-note arpeggio
+            order = tones + tones[-2:0:-1]
+            for i in range(8):
+                notes.append((order[i % len(order)], base + i * 2, 2))
+        elif mode == "stabs":        # syncopated short hits
+            for off in (0, 3, 6, 10):
+                if rng.random() < 0.8:
+                    for t in tones:
+                        notes.append((t, base + off, 2))
+        elif mode == "shell":        # jazz shell voicing, off-beat comping
+            shell = [tones[0], tones[2 % len(tones)], tones[-1]]
+            for off in (0, 6) if rng.random() < 0.6 else (2, 10):
+                for t in shell:
+                    notes.append((t, base + off, 6))
+        elif mode == "power":        # root+fifth, driving 8ths
+            for i in range(8):
+                notes.append((tones[0], base + i * 2, 2))
+                notes.append((tones[0] + 7, base + i * 2, 2))
+    return notes
+
+
+def _bass_phrase(rng, scale, root, chords, n_bars, mode) -> List[Note]:
+    notes: List[Note] = []
+    for bar in range(n_bars):
+        deg = chords[bar % len(chords)]
+        base = bar * STEPS_PER_BAR
+        rt = _degree_pitch(scale, root, deg) - 24
+        fifth = rt + 7
+        if mode == "roots":
+            notes.append((rt, base, 16))
+        elif mode == "roots_fifths":
+            notes.append((rt, base, 8))
+            notes.append((fifth, base + 8, 8))
+        elif mode == "eighths":
+            for i in range(8):
+                notes.append((rt if i % 4 != 3 else fifth, base + i * 2, 2))
+        elif mode == "walking":      # quarter-note walk toward the next root
+            nxt = _degree_pitch(scale, root, chords[(bar + 1) % len(chords)]) - 24
+            walk = [rt, rt + (2 if nxt > rt else -2), fifth,
+                    nxt + (1 if nxt < fifth else -1)]
+            for i, p in enumerate(walk):
+                notes.append((p, base + i * 4, 4))
+        elif mode == "sixteenth_syncopated":
+            for off in (0, 3, 6, 8, 11, 14):
+                notes.append((rt if off % 8 != 6 else fifth, base + off,
+                              2 if off in (0, 8) else 1))
+    return notes
+
+
+def generate_song(genre: str, seed: int) -> np.ndarray:
+    """One synthetic song → npenc (instrument column = ACCEP_INS class ids)."""
+    style = GENRE_STYLES[genre]
+    rng = np.random.default_rng(seed)
+    scale = style["scales"][int(rng.integers(len(style["scales"])))]
+    root = int(rng.integers(45, 57))  # key center A2..G#3
+    prog = list(style["progressions"][int(rng.integers(len(style["progressions"])))])
+
+    # AABA-style form out of two 4-bar phrases → repetition to learn
+    phrase_bars = 4
+    form = [0, 0, 1, 0] if rng.random() < 0.6 else [0, 1, 0, 1]
+    n_sections = int(rng.integers(1, 3))  # 16 or 32 bars
+    phrase_seeds = rng.integers(0, 2**31, size=2)
+
+    parts: Dict[int, List[Note]] = {}
+    bar0 = 0
+    for _ in range(n_sections):
+        for ph in form:
+            prng = np.random.default_rng(int(phrase_seeds[ph]))
+            mel = _melody_phrase(prng, scale, root, prog, phrase_bars,
+                                 style["melody_durs"])
+            comp = _comp_phrase(prng, scale, root, prog, phrase_bars,
+                                style["comp"], style["seventh"])
+            bass = _bass_phrase(prng, scale, root, prog, phrase_bars,
+                                style["bass"])
+            shift = bar0 * STEPS_PER_BAR
+            for cls, ph_notes in ((style["melody_ins"], mel),
+                                  (style["comp_ins"], comp),
+                                  (style["bass_ins"], bass)):
+                parts.setdefault(cls, []).extend(
+                    (p, off + shift, d) for p, off, d in ph_notes)
+            bar0 += phrase_bars
+
+    part_notes = []
+    for cls in range(N_INS):
+        arr = np.array(sorted(parts.get(cls, []), key=lambda n: n[1]),
+                       dtype=np.int64).reshape(-1, 3)
+        if len(arr):
+            # keep inside is_valid_npenc's PIANO_RANGE [21, 108)
+            arr[:, 0] = np.clip(arr[:, 0], 24, 102)
+        part_notes.append(arr)
+    # notes2chordarr expects (pitch, offset, dur) columns
+    chordarr = notes2chordarr(part_notes, max_note_dur=MAX_NOTE_DUR)
+    npenc = chordarr2npenc(chordarr)
+    assert is_valid_npenc(npenc), f"synthetic song invalid (genre={genre}, seed={seed})"
+    return npenc
+
+
+def make_corpus(out_dir, songs_per_genre: int = 80, val_per_genre: int = 10,
+                genres: Optional[List[str]] = None, base_seed: int = 0,
+                verbose: bool = False) -> Dict[str, int]:
+    """Write `out_dir/train/<genre>/*.npy` and `out_dir/valid/<genre>/*.npy`.
+
+    Validation songs use disjoint seeds from the same generative process, so
+    low validation perplexity measures in-distribution generalization, not
+    recall of training files.
+    """
+    genres = genres or list(GENRE_STYLES)
+    out_dir = Path(out_dir)
+    counts = {"train": 0, "valid": 0}
+    for g_i, genre in enumerate(genres):
+        for split, n, seed0 in (("train", songs_per_genre, 0),
+                                ("valid", val_per_genre, 1_000_000)):
+            d = out_dir / split / genre
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(n):
+                seed = base_seed + g_i * 10_000 + seed0 + i
+                npenc = generate_song(genre, seed)
+                np.save(d / f"synth_{seed:07d}.npy", npenc)
+                counts[split] += 1
+        if verbose:
+            print(f"{genre}: {songs_per_genre} train + {val_per_genre} valid")
+    return counts
+
+
+def _npenc_transpose(npenc: np.ndarray, t: int) -> Optional[np.ndarray]:
+    """Transpose the npenc pitch column; None if any note leaves PIANO_RANGE."""
+    from ..vocab import PIANO_RANGE, VALTSEP
+
+    out = npenc.copy()
+    note = out[:, 0] > VALTSEP
+    out[note, 0] += t
+    if ((out[note, 0] < PIANO_RANGE[0]) | (out[note, 0] >= PIANO_RANGE[1])).any():
+        return None
+    return out
+
+
+def add_fixture_transpositions(corpus_dir, midi_paths, genre_for_path,
+                               transposes=range(-5, 7), verbose: bool = False) -> int:
+    """Augment the train split with transposed copies of real MIDI fixtures.
+
+    Fixtures go to train only (their transpositions would leak into any val
+    split). ``genre_for_path(p) -> genre dir name``.
+    """
+    from .preprocess import process_file
+
+    n = 0
+    for p in midi_paths:
+        genre = genre_for_path(p)
+        d = Path(corpus_dir) / "train" / genre
+        d.mkdir(parents=True, exist_ok=True)
+        base = process_file(p, d)
+        if base is None:
+            continue
+        npenc = np.load(base)
+        for t in transposes:
+            if t == 0:
+                continue
+            shifted = _npenc_transpose(npenc, t)
+            if shifted is None:
+                continue
+            np.save(d / f"{Path(p).stem}_t{t:+d}.npy", shifted)
+            n += 1
+        n += 1
+        if verbose:
+            print(f"{Path(p).name} → {genre} (+{len(list(transposes)) - 1} transposes)")
+    return n

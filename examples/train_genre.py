@@ -25,28 +25,40 @@ from deepmusicgeneration_tpu.vocab import MusicVocab
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--src", required=True, help="MIDI corpus dir")
+    ap.add_argument("--src", help="MIDI corpus dir")
+    ap.add_argument("--npy-data", help="preprocessed corpus with train/ and "
+                    "valid/ subdirs (examples/make_corpus.py output)")
     ap.add_argument("--out", required=True, help="output dir (cache/ckpt/samples)")
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--bs", type=int, default=4)
     ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--patience", type=int, default=5)
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--medium", action="store_true")
     args = ap.parse_args()
+    if not args.src and not args.npy_data:
+        ap.error("one of --src / --npy-data is required")
 
     os.makedirs(args.out, exist_ok=True)
-    cache = os.path.join(args.out, "cache")
     logger = RunLogger(args.out, "train_genre")
+    vocab = MusicVocab.create()
 
     from pathlib import Path
-    midis = sorted(Path(args.src).rglob("*.mid")) + sorted(Path(args.src).rglob("*.midi"))
-    if not os.path.exists(cache) or not list(Path(cache).glob("*.npy")):
-        done = process_all(midis, cache, verbose=True)
-        logger.log("preprocess", files=len(done))
-
-    vocab = MusicVocab.create()
-    corpus = load_corpus(cache, vocab)
-    logger.log("corpus", items=len(corpus), tokens=sum(len(c) for c in corpus))
+    if args.npy_data:
+        train_corpus = load_corpus(os.path.join(args.npy_data, "train"), vocab)
+        valid_corpus = load_corpus(os.path.join(args.npy_data, "valid"), vocab)
+        midis = [p for p in Path("/root/reference").glob("*.mid")] or [None]
+    else:
+        cache = os.path.join(args.out, "cache")
+        midis = sorted(Path(args.src).rglob("*.mid")) + sorted(Path(args.src).rglob("*.midi"))
+        if not os.path.exists(cache) or not list(Path(cache).glob("*.npy")):
+            done = process_all(midis, cache, verbose=True)
+            logger.log("preprocess", files=len(done))
+        corpus = load_corpus(cache, vocab)
+        n_val = max(len(corpus) // 10, 1)
+        train_corpus, valid_corpus = corpus[n_val:], corpus[:n_val]
+    logger.log("corpus", train_items=len(train_corpus), valid_items=len(valid_corpus),
+               tokens=sum(len(c) for c in train_corpus))
 
     cfg = btp_phase1_config(len(vocab))
     if args.small:
@@ -57,18 +69,19 @@ def main():
                           d_head=32, ctx_len=256, mem_len=256)
 
     learner = MusicLearner(cfg, vocab)
-    n_val = max(len(corpus) // 10, 1)
-    train_loader = LMStreamLoader(corpus[n_val:], vocab, bs=args.bs, bptt=cfg.ctx_len,
+    train_loader = LMStreamLoader(train_corpus, vocab, bs=args.bs, bptt=cfg.ctx_len,
                                   encode_position=cfg.encode_position,
                                   transpose_range=cfg.transpose_range)
-    valid_loader = LMStreamLoader(corpus[:n_val], vocab, bs=min(args.bs, n_val),
+    valid_loader = LMStreamLoader(valid_corpus, vocab,
+                                  bs=min(args.bs, len(valid_corpus)),
                                   bptt=cfg.ctx_len, shuffle=False,
                                   transpose_range=None,
                                   encode_position=cfg.encode_position)
-    seed_item = MusicItem.from_file(str(midis[0]), vocab, genre="pop").trim_to_beat(16)
+    seed_item = (MusicItem.from_file(str(midis[0]), vocab, genre="pop").trim_to_beat(16)
+                 if midis[0] is not None else None)
     res = learner.fit_one_cycle(
         train_loader, epochs=args.epochs, lr=args.lr,
-        valid_loader=valid_loader,
+        valid_loader=valid_loader, early_stop_patience=args.patience,
         save_best_to=os.path.join(args.out, "ckpt"),
         sample_every_epoch=True, sample_seed_item=seed_item,
         sample_dir=os.path.join(args.out, "samples"),
