@@ -210,8 +210,12 @@ def generate_compiled(
 
     if settings.fused:
         # multi-row Pallas decoder stack: whole layer sweep in one kernel,
-        # ring caches updated in place (ops/fused_decode.py)
-        from ..ops.fused_decode import fused_multirow_core
+        # ring caches updated in place (ops/fused_decode.py); with kv_int8
+        # the caches live as int8 panels + per-slot scales (half the HBM
+        # traffic in both directions — the decode bottleneck)
+        from ..ops.fused_decode import (fused_multirow_core,
+                                        fused_multirow_q_core,
+                                        quantize_kv_panels)
         L, H, Dh = cfg.n_layers, cfg.n_heads, cfg.d_head
         HD = H * Dh
         M = mem_len
@@ -223,8 +227,29 @@ def generate_compiled(
         embed32 = params["embed"].astype(jnp.float32)
         head_b = params.get("head_b")
 
+        if settings.kv_int8:
+            kt, ks, vc, vs = quantize_kv_panels(kt, vc)
+
+            def run_stack(kv, idx, blocked, ptr):
+                kt, ks, vc, vs = kv
+                h_out, kt, ks, vc, vs = fused_multirow_q_core(
+                    stacked, cfg, embed32[idx], wkr_f, kt, ks, vc, vs,
+                    blocked, ptr, M, rows_per_cell=settings.rows_per_cell)
+                return (kt, ks, vc, vs), h_out
+
+            kv0 = (kt, ks, vc, vs)
+        else:
+            def run_stack(kv, idx, blocked, ptr):
+                kt, vc = kv
+                h_out, kt, vc = fused_multirow_core(
+                    stacked, cfg, embed32[idx], wkr_f, kt, vc, blocked, ptr,
+                    M, rows_per_cell=settings.rows_per_cell)
+                return (kt, vc), h_out
+
+            kv0 = (kt, vc)
+
         def step(carry, i):
-            kt, vc, g, ptr, g_cur, st, logits, rng = carry
+            kv, g, ptr, g_cur, st, logits, rng = carry
             rng, sub = jax.random.split(rng)
             step_frac = i.astype(jnp.float32) / settings.n_words
             idx, st = sample_next_token(logits, st, tables, temperatures,
@@ -232,17 +257,15 @@ def generate_compiled(
                                         settings, step_frac)
             dist = g_cur - g
             blocked = ((dist < 1) | (dist > M)).astype(jnp.int32)
-            h_out, kt, vc = fused_multirow_core(
-                stacked, cfg, embed32[idx], wkr_f, kt, vc, blocked, ptr, M,
-                rows_per_cell=settings.rows_per_cell)
+            kv, h_out = run_stack(kv, idx, blocked, ptr)
             logits = h_out @ embed32.T
             if head_b is not None:
                 logits = logits + head_b
             g = jax.lax.dynamic_update_slice(
                 g, jnp.broadcast_to(g_cur, (B, 1)).astype(jnp.int32), (0, ptr))
-            return (kt, vc, g, (ptr + 1) % M, g_cur + 1, st, logits, rng), idx
+            return (kv, g, (ptr + 1) % M, g_cur + 1, st, logits, rng), idx
 
-        carry0 = (kt, vc, ring.g, ring.ptr, ring.g_cur, st0, logits, rng)
+        carry0 = (kv0, ring.g, ring.ptr, ring.g_cur, st0, logits, rng)
         (*_, st, _, _), toks = jax.lax.scan(step, carry0,
                                             jnp.arange(settings.n_words))
         return toks.T, st.n_emitted
@@ -316,10 +339,10 @@ class GenerationEngine:
     def _fused_ok(self, B: int, kv_int8: bool, rows_per_cell: int = 8) -> bool:
         """The multi-row Pallas decode kernel applies when: TPU backend, bf16
         bias-free config without beat-position embeddings (the genre flagship
-        shape), batch divisible by the cell row count, unsharded, bf16 cache."""
+        shape), batch divisible by the cell row count, unsharded. kv_int8
+        selects the int8-cache kernel variant (fused_multirow_q_core)."""
         return (jax.default_backend() == "tpu"
                 and self.mesh is None
-                and not kv_int8
                 and self.cfg.dtype == "bfloat16"
                 and not self.cfg.bias
                 and not self.cfg.encode_position

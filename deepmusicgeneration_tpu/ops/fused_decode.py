@@ -642,6 +642,264 @@ def fused_multirow_core(
     return h_out, kt2, vc2
 
 
+# ---------------------------------------------------------------------------
+# int8-KV multi-row variant. The multirow kernel's step traffic is dominated
+# by the KV cache (B=64/mem 512/41M: ~800 MB read + ~800 MB ping-pong write
+# vs ~80 MB of weights). Storing both caches as int8 with per-slot symmetric
+# scales halves cache bytes in BOTH directions:
+#   * K dequant never materializes: the content-score matmul runs on the
+#     int8 block upcast in VMEM, and the per-slot scale multiplies the (H, M)
+#     score matrix AFTER the matmul ((1, M) broadcast — Dh× cheaper than
+#     scaling K itself),
+#   * V dequant folds the per-slot scale into the probability matrix e
+#     ((RH, M) × (1, M)) before the P·V matmul,
+#   * the fresh K/V row is quantized in-kernel (absmax over the model dim /
+#     127) and merged into the int8 blocks with the same iota select as the
+#     bf16 kernel; scales live in tiny (L, B, 1, M) fp32 side arrays.
+# Self-attention (distance 0) uses the fresh fp32 k1/v1 — exact, matching
+# `models.txl.decode_step_ring_q`'s contract where only *past* slots are
+# quantized. Accuracy: per-slot symmetric int8 keeps batched logits within
+# ~1e-2 of the bf16 path (see tests/test_fused_decode.py).
+# ---------------------------------------------------------------------------
+
+def _make_multirow_q_kernel(cfg, M: int, R: int):
+    H, Dh, D, Dff = cfg.n_heads, cfg.d_head, cfg.d_model, cfg.d_inner
+    HD = H * Dh
+    RH = R * H
+    scale = 1.0 / math.sqrt(Dh) if cfg.scale else 1.0
+    act = cfg.act
+
+    def _expand_rows(x, reps, cols):
+        return jnp.broadcast_to(x[:, None, :], (R, reps, cols)).reshape(R * reps, cols)
+
+    def kernel(ptr_ref,
+               qkv_w, out_w, ff1_w, ff1_b, ff2_w, ff2_b,
+               ln1_g, ln1_b, ln2_g, ln2_b,
+               wkr_f, u_ref, v_ref,
+               kt, ks, vc, vs,                  # int8 caches + (R, 1, M) scales
+               h_in, blocked,
+               h_out, kt_out, ks_out, vc_out, vs_out,
+               h_scr, sc_scr, attn_scr):
+        li = pl.program_id(0)
+        bi = pl.program_id(1)
+        p = ptr_ref[0, 0]
+
+        @pl.when(li == 0)
+        def _init():
+            h_scr[pl.ds(bi * R, R), :] = h_in[:, :].astype(jnp.float32)
+
+        h32 = h_scr[pl.ds(bi * R, R), :]
+        hb = h32.astype(qkv_w.dtype)
+        qkv = jnp.dot(hb, qkv_w[0], preferred_element_type=jnp.float32)
+        q = qkv[:, 0:HD]
+        k1 = qkv[:, HD:2 * HD]
+        v1 = qkv[:, 2 * HD:3 * HD]
+
+        # quantize the fresh slot (per-row symmetric absmax over the HD dim)
+        kabs = jnp.max(jnp.abs(k1), axis=1, keepdims=True)          # (R, 1)
+        ksc = jnp.maximum(kabs, 1e-6) * (1.0 / 127.0)
+        k1q = jnp.clip(jnp.round(k1 / ksc), -127.0, 127.0)
+        vabs = jnp.max(jnp.abs(v1), axis=1, keepdims=True)
+        vsc = jnp.maximum(vabs, 1e-6) * (1.0 / 127.0)
+        v1q = jnp.clip(jnp.round(v1 / vsc), -127.0, 127.0)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, M), 2)
+        k1c = k1q.reshape(R, HD, 1).astype(kt.dtype)
+        kt_out[0] = jnp.where(lane == p, k1c, kt[0])
+        ks_out[0] = jnp.where(lane == p, ksc.reshape(R, 1, 1), ks[0])
+        slot = jax.lax.broadcasted_iota(jnp.int32, (1, M, 1), 1)
+        v1r = v1q.reshape(R, 1, HD).astype(vc.dtype)
+        vc_out[0] = jnp.where(slot == p, v1r, vc[0])
+        vs_out[0] = jnp.where(lane == p, vsc.reshape(R, 1, 1), vs[0])
+
+        qu = q.astype(qkv_w.dtype) + u_ref[:, :]
+        qv = q.astype(qkv_w.dtype) + v_ref[:, :]
+        rowhead = jax.lax.broadcasted_iota(jnp.int32, (RH, HD), 0) % H
+        colhead = jax.lax.broadcasted_iota(jnp.int32, (RH, HD), 1) // Dh
+        hm = rowhead == colhead
+        qu2 = jnp.where(hm, _expand_rows(qu, H, HD), 0)
+        qv2 = jnp.where(hm, _expand_rows(qv, H, HD), 0)
+
+        sd = jnp.dot(qv2, wkr_f[0], preferred_element_type=jnp.float32)
+        k1rep = _expand_rows(k1, H, HD)
+        selfac = jnp.sum(qu2.astype(jnp.float32) * k1rep, axis=-1,
+                         keepdims=True)
+
+        # content scores on the upcast int8 block; per-slot scale applied to
+        # the (H, M) result instead of the (HD, M) operand
+        for r in range(R):
+            kt_bf = kt[0, r].astype(qkv_w.dtype)                    # (HD, M)
+            ac_r = jnp.dot(qu2[r * H:(r + 1) * H, :], kt_bf,
+                           preferred_element_type=jnp.float32)      # (H, M)
+            sc_scr[pl.ds(r * H, H), 0:M] = ac_r * ks[0, r]          # ×(1, M)
+
+        ac = sc_scr[0:RH, 0:M]
+        bd = pltpu.roll(sd[:, :M], p, 1)
+        blk2 = _expand_rows(blocked[:, :], H, M) != 0
+        score = jnp.where(blk2, NEG_INF, (ac + bd) * scale)
+        self_score = (selfac + sd[:, M:M + 1]) * scale
+        m = jnp.maximum(jnp.max(score, axis=-1, keepdims=True), self_score)
+        e = jnp.exp(score - m)
+        e_self = jnp.exp(self_score - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True) + e_self
+
+        hm_h = hm[0:H, :]
+        for r in range(R):
+            lo, hi = r * H, (r + 1) * H
+            # fold the V per-slot scales into the probabilities, then one
+            # (H, M) @ (M, HD) matmul on the upcast int8 block
+            e_r = (e[lo:hi, :] * vs[0, r]).astype(qkv_w.dtype)
+            vc_bf = vc[0, r].astype(qkv_w.dtype)                    # (M, HD)
+            pv = jnp.dot(e_r, vc_bf, preferred_element_type=jnp.float32)
+            num = jnp.sum(jnp.where(hm_h, pv, 0), axis=0, keepdims=True)
+            w_self = jnp.sum(jnp.where(hm_h, e_self[lo:hi, :], 0), axis=0,
+                             keepdims=True)
+            d_lane = jnp.sum(jnp.where(hm_h, denom[lo:hi, :], 0), axis=0,
+                             keepdims=True)
+            attn_scr[pl.ds(r, 1), :] = (num + w_self * v1[r:r + 1, :]) / d_lane
+
+        attn_all = attn_scr[0:R, :].astype(hb.dtype)
+        out = jnp.dot(attn_all, out_w[0], preferred_element_type=jnp.float32)
+        h1 = _ln(h32 + out, ln1_g[0], ln1_b[0])
+        ffx = jnp.dot(h1.astype(hb.dtype), ff1_w[0], preferred_element_type=jnp.float32)
+        ffx = ffx + ff1_b[0].astype(jnp.float32)
+        if act == "gelu":
+            c = math.sqrt(2.0 / math.pi)
+            ffx = 0.5 * ffx * (1.0 + jnp.tanh(c * (ffx + 0.044715 * ffx ** 3)))
+        else:
+            ffx = jnp.maximum(ffx, 0.0)
+        ffy = jnp.dot(ffx.astype(hb.dtype), ff2_w[0], preferred_element_type=jnp.float32)
+        ffy = ffy + ff2_b[0].astype(jnp.float32)
+        h2 = _ln(h1 + ffy, ln2_g[0], ln2_b[0])
+        h_scr[pl.ds(bi * R, R), :] = h2
+        h_out[:, :] = h2
+
+    return kernel
+
+
+def quantize_kv_panels(kt: jnp.ndarray, vc: jnp.ndarray):
+    """Quantize prefill KV panels to int8 + per-slot scales.
+
+    kt (L, B, HD, M) → int8 + ks (L, B, 1, M); vc (L, B, M, HD) → int8 +
+    vs (L, B, 1, M). Symmetric absmax over the model dim per slot.
+    """
+    kabs = jnp.max(jnp.abs(kt.astype(jnp.float32)), axis=2, keepdims=True)
+    ks = jnp.maximum(kabs, 1e-6) / 127.0                   # (L, B, 1, M)
+    kt_q = jnp.clip(jnp.round(kt.astype(jnp.float32) / ks), -127, 127).astype(jnp.int8)
+    vabs = jnp.max(jnp.abs(vc.astype(jnp.float32)), axis=3, keepdims=True)
+    vs = jnp.maximum(vabs, 1e-6) / 127.0                   # (L, B, M, 1)
+    vc_q = jnp.clip(jnp.round(vc.astype(jnp.float32) / vs), -127, 127).astype(jnp.int8)
+    vs = vs[..., 0][:, :, None, :]                         # → (L, B, 1, M)
+    return kt_q, ks, vc_q, vs
+
+
+def fused_multirow_q_core(
+    stacked: StackedTXL,
+    cfg,
+    h_in: jnp.ndarray,       # (B, D) fp32
+    wkr_f: jnp.ndarray,      # (L, HD, M+1) bf16
+    kt: jnp.ndarray,         # (L, B, HD, M) int8
+    ks: jnp.ndarray,         # (L, B, 1, M) fp32
+    vc: jnp.ndarray,         # (L, B, M, HD) int8
+    vs: jnp.ndarray,         # (L, B, 1, M) fp32
+    blocked: jnp.ndarray,    # (B, M) int32
+    ptr: jnp.ndarray,        # () int32
+    mem_len: int,
+    rows_per_cell: int = 8,
+    interpret: bool = False,
+):
+    """int8-KV multirow core. Returns (h_out, kt', ks', vc', vs')."""
+    L, D, Dff = cfg.n_layers, cfg.d_model, cfg.d_inner
+    H, Dh, M = cfg.n_heads, cfg.d_head, mem_len
+    HD = H * Dh
+    B = h_in.shape[0]
+    R = rows_per_cell
+    assert B % R == 0, f"batch {B} must divide rows_per_cell {R}"
+
+    lspec = lambda shape: pl.BlockSpec(
+        (1, *shape), lambda i, b: (i, *([0] * len(shape))), memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    kt_spec = pl.BlockSpec((1, R, HD, M), lambda i, b: (i, b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    ks_spec = pl.BlockSpec((1, R, 1, M), lambda i, b: (i, b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    vc_spec = pl.BlockSpec((1, R, M, HD), lambda i, b: (i, b, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    kernel = _make_multirow_q_kernel(cfg, M, R)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(L, B // R),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, b: (0, 0), memory_space=pltpu.SMEM),
+            lspec((D, 3 * HD)), lspec((HD, D)),
+            lspec((D, Dff)), lspec((1, Dff)),
+            lspec((Dff, D)), lspec((1, D)),
+            lspec((1, D)), lspec((1, D)), lspec((1, D)), lspec((1, D)),
+            lspec((HD, M + 1)),
+            full(), full(),
+            kt_spec, ks_spec, vc_spec, ks_spec,
+            pl.BlockSpec((R, D), lambda i, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M), lambda i, b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, D), lambda i, b: (b, 0), memory_space=pltpu.VMEM),
+            kt_spec, ks_spec, vc_spec, ks_spec,
+        ],
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32),
+                        pltpu.VMEM((R * H, M), jnp.float32),
+                        pltpu.VMEM((R, HD), jnp.float32)],
+    )
+    h_out, kt2, ks2, vc2, vs2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct(kt.shape, kt.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ],
+        # cache operands update in place inside the decode scan (cf.
+        # fused_multirow_core): kt/ks/vc/vs → outputs 1..4
+        input_output_aliases={14: 1, 15: 2, 16: 3, 17: 4},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(jnp.reshape(ptr, (1, 1)),
+      stacked.qkv_w, stacked.out_w, stacked.ff1_w, stacked.ff1_b,
+      stacked.ff2_w, stacked.ff2_b,
+      stacked.ln1_g, stacked.ln1_b, stacked.ln2_g, stacked.ln2_b,
+      wkr_f, stacked.u, stacked.v, kt, ks, vc, vs, h_in, blocked)
+    return h_out, kt2, ks2, vc2, vs2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mem_len", "rows_per_cell", "interpret"),
+                   donate_argnums=(4, 5, 6, 7))
+def fused_multirow_q_decode(
+    stacked: StackedTXL,
+    cfg,
+    h_in: jnp.ndarray,
+    wkr_f: jnp.ndarray,
+    kt: jnp.ndarray,
+    ks: jnp.ndarray,
+    vc: jnp.ndarray,
+    vs: jnp.ndarray,
+    blocked: jnp.ndarray,
+    ptr: jnp.ndarray,
+    mem_len: int,
+    rows_per_cell: int = 8,
+    interpret: bool = False,
+):
+    """Jitted wrapper (tests/standalone use)."""
+    return fused_multirow_q_core(
+        stacked, cfg, h_in, wkr_f, kt, ks, vc, vs, blocked,
+        jnp.reshape(ptr, ()), mem_len, rows_per_cell=rows_per_cell,
+        interpret=interpret)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "mem_len", "rows_per_cell", "interpret"),
                    donate_argnums=(4, 5))

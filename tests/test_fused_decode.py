@@ -122,6 +122,66 @@ def test_multirow_fused_kernel_matches_ring(setup):
     np.testing.assert_allclose(np.asarray(vc2.astype(jnp.float32)), ref_vc, atol=0.05)
 
 
+def test_multirow_q_kernel_matches_ring(setup):
+    """int8-KV multirow kernel: logits must track the fp-cache reference
+    within int8 quantization noise, and the dequantized cache slots must
+    round-trip the freshly written K/V."""
+    from deepmusicgeneration_tpu.ops.fused_decode import (
+        fused_multirow_q_decode, quantize_kv_panels)
+    cfg, params = setup
+    M = cfg.mem_len
+    L, H, Dh = cfg.n_layers, cfg.n_heads, cfg.d_head
+    HD = H * Dh
+    B, R = 16, 8
+    rng = np.random.default_rng(5)
+    k = jnp.asarray(rng.normal(scale=0.5, size=(L, B, H, M, Dh)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(scale=0.5, size=(L, B, H, M, Dh)), jnp.bfloat16)
+    g_rows = []
+    for b in range(B):
+        g_row = np.arange(M) - M
+        g_row[:b] = txl.PAD_G
+        g_rows.append(g_row)
+    g = jnp.asarray(np.stack(g_rows), jnp.int32)
+    ptr = jnp.asarray(7, jnp.int32)
+    cache = txl.RingKVCache(k=k, v=v, g=g, ptr=ptr, g_cur=jnp.asarray(7, jnp.int32))
+    wkr = txl.precompute_wkr(params, cfg, M)
+    toks = jnp.asarray(rng.integers(12, 140, B), jnp.int32)
+    ref_logits, ref_cache = txl.decode_step_ring(
+        params, cfg, toks, jnp.zeros((B,), jnp.int32), cache, wkr)
+
+    stacked = stack_txl_layers(params)
+    h_in = params["embed"][toks].astype(jnp.float32)
+    dist = cache.g_cur - cache.g
+    blocked = ((dist < 1) | (dist > M)).astype(jnp.int32)
+    kt = k.transpose(0, 1, 2, 4, 3).reshape(L, B, HD, M)
+    vc = v.transpose(0, 1, 3, 2, 4).reshape(L, B, M, HD)
+    kt_q, ks, vc_q, vs = quantize_kv_panels(kt, vc)
+    wkr_f = wkr.transpose(0, 1, 3, 2).reshape(L, HD, M + 1)
+    h_out, kt2, ks2, vc2, vs2 = fused_multirow_q_decode(
+        stacked, cfg, h_in, wkr_f, kt_q, ks, vc_q, vs, blocked, ptr, M,
+        rows_per_cell=R, interpret=True)
+    logits = h_out @ params["embed"].T.astype(jnp.float32) + params["head_b"]
+
+    ref = np.asarray(ref_logits)
+    got = np.asarray(logits)
+    # int8-cache noise: close logits, and (near-)unanimous greedy agreement
+    np.testing.assert_allclose(got, ref, atol=0.5, rtol=0.1)
+    agree = (np.argmax(got, -1) == np.argmax(ref, -1)).mean()
+    assert agree >= 0.9, f"greedy agreement {agree}"
+
+    # freshly written slot dequantizes back to the reference K/V
+    ref_k_slot = np.asarray(ref_cache.k[:, :, :, 7, :].astype(jnp.float32)) \
+        .reshape(L, B, HD)
+    got_k_slot = np.asarray(kt2[:, :, :, 7].astype(np.float32)) \
+        * np.asarray(ks2[:, :, 0, 7])[:, :, None]
+    np.testing.assert_allclose(got_k_slot, ref_k_slot, atol=0.05)
+    ref_v_slot = np.asarray(ref_cache.v[:, :, :, 7, :].astype(jnp.float32)) \
+        .reshape(L, B, HD)
+    got_v_slot = np.asarray(vc2[:, :, 7, :].astype(np.float32)) \
+        * np.asarray(vs2[:, :, 0, 7])[:, :, None]
+    np.testing.assert_allclose(got_v_slot, ref_v_slot, atol=0.05)
+
+
 def test_batched_fused_kernel_matches_ring(setup):
     from deepmusicgeneration_tpu.ops.fused_decode import fused_batched_decode
     cfg, params = setup
