@@ -139,6 +139,40 @@ def cpu_baseline() -> float:
     return 0.0
 
 
+# v5e (TPU v5 lite) single-chip peaks; used for roofline %s in the report
+PEAK_HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v5p": 2765.0, "TPU v6 lite": 1640.0}
+PEAK_BF16_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5p": 459.0, "TPU v6 lite": 918.0}
+
+
+def decode_step_traffic(cfg, B: int, M: int, kv_bits: int) -> dict:
+    """Analytic per-step HBM bytes and matmul FLOPs of the fused batched
+    decode (weights read once per token; KV cache read + ping-pong write)."""
+    L, D, Dff = cfg.n_layers, cfg.d_model, cfg.d_inner
+    HD = cfg.n_heads * cfg.d_head
+    w_elems = L * (D * 3 * HD + HD * D + D * Dff + Dff * D)
+    wkr_elems = L * HD * (M + 1)
+    kv_elems = L * B * HD * M * 2                      # K + V
+    bytes_step = (w_elems + wkr_elems) * 2 + kv_elems * (kv_bits // 8) * 2
+    if kv_bits == 8:
+        bytes_step += L * B * M * 4 * 2 * 2            # fp32 scale arrays r+w
+    flops = 2 * B * (w_elems + wkr_elems) + 2 * B * L * HD * M * 2
+    return {"bytes": bytes_step, "flops": flops}
+
+
+def roofline(cfg, B: int, M: int, kv_bits: int, tok_per_sec: float) -> dict:
+    import jax
+    kind = jax.devices()[0].device_kind
+    t = decode_step_traffic(cfg, B, M, kv_bits)
+    steps_per_sec = tok_per_sec / B
+    gbps = t["bytes"] * steps_per_sec / 1e9
+    tflops = t["flops"] * steps_per_sec / 1e12
+    out = {"achieved_gbps": round(gbps, 1), "achieved_tflops": round(tflops, 2)}
+    if kind in PEAK_HBM_GBPS:
+        out["hbm_bw_pct"] = round(100 * gbps / PEAK_HBM_GBPS[kind], 1)
+        out["mfu_pct"] = round(100 * tflops / PEAK_BF16_TFLOPS[kind], 2)
+    return out
+
+
 def run_batched_bench(batch: int = 64, n_words: int = 256):
     """Config 5: batched streaming — 64 prompts tokenized + decoded at once."""
     import jax
@@ -158,14 +192,21 @@ def run_batched_bench(batch: int = 64, n_words: int = 256):
              for fp in ["/root/reference/fur_elise.mid",
                         "/root/reference/Undertale_-_Megalovania.mid"] * (batch // 2)]
     tok_time = time.time() - t0
-    engine.generate_batch(seeds, n_words=n_words, min_bars=1_000_000, seed=0)
-    t0 = time.time()
-    engine.generate_batch(seeds, n_words=n_words, min_bars=1_000_000, seed=1)
-    dt = time.time() - t0
-    tps = batch * n_words / dt
-    log(f"batched decode: B={batch} × {n_words} tokens in {dt:.3f}s → {tps:.0f} tok/s "
-        f"(host tokenize {batch} files: {tok_time:.2f}s)")
-    return tps, batch / tok_time
+    results = {}
+    for kv_int8 in (False, True):
+        engine.generate_batch(seeds, n_words=n_words, min_bars=1_000_000,
+                              seed=0, kv_int8=kv_int8)
+        t0 = time.time()
+        engine.generate_batch(seeds, n_words=n_words, min_bars=1_000_000,
+                              seed=1, kv_int8=kv_int8)
+        dt = time.time() - t0
+        tps = batch * n_words / dt
+        rf = roofline(cfg, batch, cfg.mem_len, 8 if kv_int8 else 16, tps)
+        results[kv_int8] = (tps, rf)
+        log(f"batched decode ({'int8' if kv_int8 else 'bf16'} KV): B={batch} × "
+            f"{n_words} tokens in {dt:.3f}s → {tps:.0f} tok/s  {rf}")
+    log(f"host tokenize {batch} files: {tok_time:.2f}s")
+    return results, batch / tok_time
 
 
 def main():
@@ -173,7 +214,8 @@ def main():
     platform = jax.devices()[0].platform
     log(f"backend: {platform} ({jax.devices()})")
     tps, dt = run_decode_bench(N_WORDS)
-    batch_tps, files_per_sec = (run_batched_bench() if platform != "cpu" else (0, 0))
+    batch_res, files_per_sec = (run_batched_bench() if platform != "cpu"
+                                else ({}, 0))
     if platform != "cpu":
         try:
             mask_rate, s2s_tps = run_multitask_bench()
@@ -194,7 +236,12 @@ def main():
             "n_words": N_WORDS,
             "p50_latency_s_1024_tokens": round(dt, 3),
             "cpu_baseline_tps": round(base, 2),
-            "batch64_tokens_per_sec": round(batch_tps, 1),
+            "batch64_tokens_per_sec": round(
+                max((r[0] for r in batch_res.values()), default=0.0), 1),
+            "batch64_bf16kv_tokens_per_sec": round(batch_res.get(False, (0,))[0], 1),
+            "batch64_int8kv_tokens_per_sec": round(batch_res.get(True, (0,))[0], 1),
+            "batch64_roofline": {
+                ("int8" if k else "bf16"): v[1] for k, v in batch_res.items()},
             "midi_files_encoded_per_sec": round(files_per_sec, 2),
             "mask_infills_per_sec_85m": round(mask_rate, 1),
             "s2s_decode_tokens_per_sec_85m": round(s2s_tps, 1),

@@ -252,13 +252,15 @@ class MultitaskLearner:
 
     # -- inference ----------------------------------------------------------
     def predict_mask(self, masked_item: MusicItem, temperatures=(1.0, 1.0),
-                     top_k: int = 20, top_p: float = 0.8, seed: int = 0) -> MusicItem:
+                     top_k: int = 20, top_p: float = 0.8, seed: int = 0,
+                     greedy: bool = False, parallel: bool = False) -> MusicItem:
         if self._mask_engine is None:
             from ..decode.multitask_engine import MaskEngine
             self._mask_engine = MaskEngine(self.params, self.cfg, self.vocab)
         out = self._mask_engine.predict_mask(
             masked_item.data, position=masked_item.position,
-            temperatures=temperatures, top_k=top_k, top_p=top_p, seed=seed)
+            temperatures=temperatures, top_k=top_k, top_p=top_p, seed=seed,
+            greedy=greedy, parallel=parallel)
         return MusicItem(out.astype(np.int64), self.vocab)
 
     def predict_s2s(self, input_item: MusicItem, target_item: MusicItem,

@@ -28,7 +28,9 @@ from deepmusicgeneration_tpu.vocab import MusicVocab
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--src", required=True)
+    ap.add_argument("--src")
+    ap.add_argument("--npy-data", help="preprocessed corpus with train/ subdir "
+                    "(examples/make_corpus.py output)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--bs", type=int, default=4)
@@ -37,17 +39,24 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--medium", action="store_true")
     args = ap.parse_args()
+    if not args.src and not args.npy_data:
+        ap.error("one of --src / --npy-data is required")
 
     os.makedirs(args.out, exist_ok=True)
     logger = RunLogger(args.out, "train_multitask")
-    cache = os.path.join(args.out, "cache")
     from pathlib import Path
-    midis = sorted(Path(args.src).rglob("*.mid")) + sorted(Path(args.src).rglob("*.midi"))
-    if not os.path.exists(cache) or not list(Path(cache).glob("*.npy")):
-        process_all(midis, cache, verbose=True)
-
     vocab = MusicVocab.create()
-    corpus = load_corpus(cache, vocab)
+    midis = []
+    npenc_paths = []
+    if args.npy_data:
+        corpus = load_corpus(os.path.join(args.npy_data, "train"), vocab)
+        npenc_paths = sorted(Path(args.npy_data, "train").rglob("*.npy"))
+    else:
+        cache = os.path.join(args.out, "cache")
+        midis = sorted(Path(args.src).rglob("*.mid")) + sorted(Path(args.src).rglob("*.midi"))
+        if not os.path.exists(cache) or not list(Path(cache).glob("*.npy")):
+            process_all(midis, cache, verbose=True)
+        corpus = load_corpus(cache, vocab)
     logger.log("corpus", items=len(corpus))
 
     cfg = multitask_config(len(vocab))
@@ -70,6 +79,13 @@ def main():
         try:
             it = MultitrackItem.from_file(str(fp), vocab)
             if len(it.first_instrument) > 8 and len(it.second_instrument) > 8:
+                items.append(it)
+        except Exception:
+            continue
+    for fp in npenc_paths:
+        try:
+            it = MultitrackItem.from_npenc(np.load(fp), vocab)
+            if len(it.first_instrument) > 16 and len(it.second_instrument) > 16:
                 items.append(it)
         except Exception:
             continue
