@@ -99,13 +99,19 @@ def _chord_tones(scale, root, degree, seventh: bool) -> List[int]:
     return tones
 
 
-def _melody_phrase(rng, scale, root, chords, n_bars, durs) -> List[Note]:
-    """Random-walk melody over the scale; chord tones favoured on strong beats."""
+def _melody_phrase(rng, scale, root, chords, n_bars, durs, lift: int = 0) -> List[Note]:
+    """Random-walk melody over the scale; chord tones favoured on strong beats.
+
+    ``lift`` raises the register (in scale degrees) — used when melody and
+    accompaniment share an instrument class, so their pitch ranges never
+    overlap (same-pitch overlaps within one part are ambiguous in the
+    piano-roll representation, as in the reference codec).
+    """
     dur_vals = np.array([d for d, _ in durs])
     dur_p = np.array([w for _, w in durs], dtype=float)
     dur_p /= dur_p.sum()
     notes: List[Note] = []
-    deg = int(rng.integers(7, 15))  # melody register ~1-2 octaves up
+    deg = int(rng.integers(7, 15)) + lift  # melody register ~1-2 octaves up
     step = 0
     end = n_bars * STEPS_PER_BAR
     while step < end:
@@ -117,11 +123,11 @@ def _melody_phrase(rng, scale, root, chords, n_bars, durs) -> List[Note]:
         if on_beat and rng.random() < 0.6:
             # snap to the nearest chord tone (strong-beat consonance)
             choices = [chord_deg, chord_deg + 2, chord_deg + 4]
-            deg = min((c + 7 for c in choices),
+            deg = min((c + 7 + lift for c in choices),
                       key=lambda c: abs(c - deg))
         else:
             deg += int(rng.integers(-2, 3))
-        deg = int(np.clip(deg, 5, 20))
+        deg = int(np.clip(deg, 5 + lift, min(20 + lift, 24)))
         if rng.random() > 0.12:  # 12% rests
             pitch = _degree_pitch(scale, root, deg)
             notes.append((int(np.clip(pitch, 24, 102)), step, dur))
@@ -135,11 +141,12 @@ def _comp_phrase(rng, scale, root, chords, n_bars, mode, seventh) -> List[Note]:
         deg = chords[bar % len(chords)]
         tones = _chord_tones(scale, root, deg, seventh)
         base = bar * STEPS_PER_BAR
-        if mode == "block":          # whole/half-bar block chords
-            for half in (0, 8) if rng.random() < 0.5 else (0,):
-                dur = 8 if half == 0 and rng.random() < 0.5 else 16 - half
+        if mode == "block":          # whole- or two-half-bar block chords
+            halves = (0, 8) if rng.random() < 0.5 else (0,)
+            for half in halves:
+                dur = 8 if len(halves) == 2 else 16  # never overlap same pitch
                 for t in tones:
-                    notes.append((t, base + half, min(dur, 16 - half)))
+                    notes.append((t, base + half, dur))
         elif mode == "strum":        # chord on each beat
             for beat in range(4):
                 for t in tones:
@@ -212,8 +219,9 @@ def generate_song(genre: str, seed: int) -> np.ndarray:
     for _ in range(n_sections):
         for ph in form:
             prng = np.random.default_rng(int(phrase_seeds[ph]))
+            lift = 7 if style["melody_ins"] == style["comp_ins"] else 0
             mel = _melody_phrase(prng, scale, root, prog, phrase_bars,
-                                 style["melody_durs"])
+                                 style["melody_durs"], lift=lift)
             comp = _comp_phrase(prng, scale, root, prog, phrase_bars,
                                 style["comp"], style["seventh"])
             bass = _bass_phrase(prng, scale, root, prog, phrase_bars,
