@@ -144,25 +144,34 @@ PEAK_HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v5p": 2765.0, "TPU v6 lite": 1640.0}
 PEAK_BF16_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5p": 459.0, "TPU v6 lite": 918.0}
 
 
-def decode_step_traffic(cfg, B: int, M: int, kv_bits: int) -> dict:
+def decode_step_traffic(cfg, B: int, M: int, kv_bits: int,
+                        write_mode: str = "pingpong") -> dict:
     """Analytic per-step HBM bytes and matmul FLOPs of the fused batched
-    decode (weights read once per token; KV cache read + ping-pong write)."""
+    decode. Weights are read once per token; the KV cache is fully read, and
+    written back either in full ('pingpong', the multirow kernels) or as
+    32-slot slabs around the ring pointer ('slab')."""
     L, D, Dff = cfg.n_layers, cfg.d_model, cfg.d_inner
     HD = cfg.n_heads * cfg.d_head
     w_elems = L * (D * 3 * HD + HD * D + D * Dff + Dff * D)
     wkr_elems = L * HD * (M + 1)
     kv_elems = L * B * HD * M * 2                      # K + V
-    bytes_step = (w_elems + wkr_elems) * 2 + kv_elems * (kv_bits // 8) * 2
+    kv_read = kv_elems * (kv_bits // 8)
+    kv_write = (kv_read if write_mode == "pingpong"
+                else L * B * HD * 32 * 2 * (kv_bits // 8))
+    bytes_step = (w_elems + wkr_elems) * 2 + kv_read + kv_write
     if kv_bits == 8:
-        bytes_step += L * B * M * 4 * 2 * 2            # fp32 scale arrays r+w
+        scale_read = L * B * M * 4 * 2
+        scale_write = scale_read if write_mode == "pingpong" else L * B * 32 * 4 * 2
+        bytes_step += scale_read + scale_write
     flops = 2 * B * (w_elems + wkr_elems) + 2 * B * L * HD * M * 2
     return {"bytes": bytes_step, "flops": flops}
 
 
-def roofline(cfg, B: int, M: int, kv_bits: int, tok_per_sec: float) -> dict:
+def roofline(cfg, B: int, M: int, kv_bits: int, tok_per_sec: float,
+             write_mode: str = "pingpong") -> dict:
     import jax
     kind = jax.devices()[0].device_kind
-    t = decode_step_traffic(cfg, B, M, kv_bits)
+    t = decode_step_traffic(cfg, B, M, kv_bits, write_mode)
     steps_per_sec = tok_per_sec / B
     gbps = t["bytes"] * steps_per_sec / 1e9
     tflops = t["flops"] * steps_per_sec / 1e12
@@ -193,18 +202,24 @@ def run_batched_bench(batch: int = 64, n_words: int = 256):
                         "/root/reference/Undertale_-_Megalovania.mid"] * (batch // 2)]
     tok_time = time.time() - t0
     results = {}
-    for kv_int8 in (False, True):
-        engine.generate_batch(seeds, n_words=n_words, min_bars=1_000_000,
-                              seed=0, kv_int8=kv_int8)
-        t0 = time.time()
-        engine.generate_batch(seeds, n_words=n_words, min_bars=1_000_000,
-                              seed=1, kv_int8=kv_int8)
-        dt = time.time() - t0
+    for kernel in ("multirow", "multirow_int8", "slab", "slab_int8"):
+        try:
+            engine.generate_batch(seeds, n_words=n_words, min_bars=1_000_000,
+                                  seed=0, decode_kernel=kernel)
+            t0 = time.time()
+            engine.generate_batch(seeds, n_words=n_words, min_bars=1_000_000,
+                                  seed=1, decode_kernel=kernel)
+            dt = time.time() - t0
+        except Exception as e:
+            log(f"batched decode kernel {kernel} failed: {e}")
+            continue
         tps = batch * n_words / dt
-        rf = roofline(cfg, batch, cfg.mem_len, 8 if kv_int8 else 16, tps)
-        results[kv_int8] = (tps, rf)
-        log(f"batched decode ({'int8' if kv_int8 else 'bf16'} KV): B={batch} × "
-            f"{n_words} tokens in {dt:.3f}s → {tps:.0f} tok/s  {rf}")
+        kv_bits = 16 if kernel == "multirow" else 8
+        mode = "slab" if kernel.startswith("slab") else "pingpong"
+        rf = roofline(cfg, batch, cfg.mem_len, kv_bits, tps, mode)
+        results[kernel] = (tps, rf)
+        log(f"batched decode [{kernel}]: B={batch} × {n_words} tokens in "
+            f"{dt:.3f}s → {tps:.0f} tok/s  {rf}")
     log(f"host tokenize {batch} files: {tok_time:.2f}s")
     return results, batch / tok_time
 
@@ -238,10 +253,8 @@ def main():
             "cpu_baseline_tps": round(base, 2),
             "batch64_tokens_per_sec": round(
                 max((r[0] for r in batch_res.values()), default=0.0), 1),
-            "batch64_bf16kv_tokens_per_sec": round(batch_res.get(False, (0,))[0], 1),
-            "batch64_int8kv_tokens_per_sec": round(batch_res.get(True, (0,))[0], 1),
-            "batch64_roofline": {
-                ("int8" if k else "bf16"): v[1] for k, v in batch_res.items()},
+            "batch64_by_kernel": {k: round(v[0], 1) for k, v in batch_res.items()},
+            "batch64_roofline": {k: v[1] for k, v in batch_res.items()},
             "midi_files_encoded_per_sec": round(files_per_sec, 2),
             "mask_infills_per_sec_85m": round(mask_rate, 1),
             "s2s_decode_tokens_per_sec_85m": round(s2s_tps, 1),

@@ -51,6 +51,8 @@ class SamplerSettings:
     kv_int8: bool = False      # int8-quantized KV cache (halved HBM footprint)
     fused: bool = False        # multi-row Pallas decoder-stack kernel
     rows_per_cell: int = 8     # batch rows per fused-kernel grid cell
+    slab: bool = False         # slot-major int8 cache + 32-slot slab writes
+    score_mode: str = "bf16"   # slab kernel score path: 'bf16' | 'int8'
 
 
 class DecodeTables(NamedTuple):
@@ -227,7 +229,25 @@ def generate_compiled(
         embed32 = params["embed"].astype(jnp.float32)
         head_b = params.get("head_b")
 
-        if settings.kv_int8:
+        if settings.slab:
+            # slot-major int8 caches + slab writes (fused_slab_core)
+            from ..ops.fused_decode import fused_slab_core, quantize_kv_slot_major
+            kt_s = ring.k.transpose(0, 1, 3, 2, 4).reshape(L, B, M, HD)
+            vc_s = ring.v.transpose(0, 1, 3, 2, 4).reshape(L, B, M, HD)
+            kq, ksc, vq, vsc = quantize_kv_slot_major(kt_s, vc_s)
+            wkr_mt = txl.precompute_wkr(params, cfg, M) \
+                .transpose(0, 2, 1, 3).reshape(L, M + 1, HD)
+
+            def run_stack(kv, idx, blocked, ptr):
+                kq, ksc, vq, vsc = kv
+                h_out, kq, ksc, vq, vsc = fused_slab_core(
+                    stacked, cfg, embed32[idx], wkr_mt, kq, ksc, vq, vsc,
+                    blocked, ptr, M, rows_per_cell=settings.rows_per_cell,
+                    score_mode=settings.score_mode)
+                return (kq, ksc, vq, vsc), h_out
+
+            kv0 = (kq, ksc, vq, vsc)
+        elif settings.kv_int8:
             kt, ks, vc, vs = quantize_kv_panels(kt, vc)
 
             def run_stack(kv, idx, blocked, ptr):
@@ -375,6 +395,7 @@ class GenerationEngine:
         seed: int = 0,
         mem_len: Optional[int] = None,
         kv_int8: bool = False,
+        decode_kernel: Optional[str] = None,
     ) -> np.ndarray:
         """Generate continuation tokens for one prompt; returns the new ids."""
         toks, lengths = self.generate_batch(
@@ -382,7 +403,8 @@ class GenerationEngine:
             [seed_pos] if seed_pos is not None else None,
             n_words=n_words, temperatures=temperatures, min_bars=min_bars,
             top_k=top_k, top_p=top_p, allowed_ins=allowed_ins, greedy=greedy,
-            temp_mode=temp_mode, seed=seed, mem_len=mem_len, kv_int8=kv_int8)
+            temp_mode=temp_mode, seed=seed, mem_len=mem_len, kv_int8=kv_int8,
+            decode_kernel=decode_kernel)
         return toks[0][: lengths[0]]
 
     def generate_batch(
@@ -400,7 +422,12 @@ class GenerationEngine:
         seed: int = 0,
         mem_len: Optional[int] = None,
         kv_int8: bool = False,
+        decode_kernel: Optional[str] = None,
     ):
+        """``decode_kernel``: None = auto (best available for the config);
+        explicit values: 'xla' (lax ring step), 'multirow' (bf16 Pallas),
+        'multirow_int8', 'slab' (slot-major int8 + slab writes, bf16 scores),
+        'slab_int8' (int8 MXU scores too)."""
         from ..codec.index import position_enc
 
         B = len(seeds)
@@ -422,10 +449,21 @@ class GenerationEngine:
 
         if len(temperatures) == 2:
             temperatures = (temperatures[0], temperatures[1], temperatures[1])
-        fused = self._fused_ok(B, kv_int8)
-        settings = SamplerSettings(n_words=n_words, top_k=top_k,
-                                   temp_mode=temp_mode, greedy=greedy,
-                                   kv_int8=kv_int8, fused=fused)
+        fused_ok = self._fused_ok(B, kv_int8)
+        if decode_kernel is None:
+            decode_kernel = ("multirow_int8" if (kv_int8 and fused_ok)
+                             else "multirow" if fused_ok
+                             else "xla")
+        if decode_kernel != "xla" and not fused_ok:
+            raise ValueError(f"decode_kernel={decode_kernel!r} needs the TPU "
+                             "fused path (bf16 bias-free config, batch % "
+                             "rows_per_cell == 0, unsharded)")
+        settings = SamplerSettings(
+            n_words=n_words, top_k=top_k, temp_mode=temp_mode, greedy=greedy,
+            kv_int8=kv_int8 or decode_kernel in ("multirow_int8",),
+            fused=decode_kernel != "xla",
+            slab=decode_kernel in ("slab", "slab_int8"),
+            score_mode="int8" if decode_kernel == "slab_int8" else "bf16")
         tables = self.tables(temp_mode)
         from ..codec.grammar import allowed_ins_mask
         ins_mask = jnp.asarray(allowed_ins_mask(self.vocab, allowed_ins))
@@ -457,6 +495,6 @@ class GenerationEngine:
             jnp.asarray(np.float32(top_p)), jnp.asarray(np.int32(min_bars)),
             ins_mask, jax.random.PRNGKey(seed), settings,
             window=W, mem_len=mem_len,
-            stacked=self.stacked() if fused else None)
+            stacked=self.stacked() if settings.fused else None)
         self.last_sharding = out.sharding  # inspectable by callers/tests
         return np.asarray(out)[:B], np.asarray(lengths)[:B]

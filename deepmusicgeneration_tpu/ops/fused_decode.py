@@ -875,6 +875,300 @@ def fused_multirow_q_core(
     return h_out, kt2, ks2, vc2, vs2
 
 
+# ---------------------------------------------------------------------------
+# Slab-write int8 kernel — eliminates the full-cache ping-pong write.
+#
+# The multirow kernels re-write every cache block each step because a single
+# ring slot can't be DMA'd (HBM writes have (sublane, lane) tile granularity
+# and the K layout put slots on lanes). This kernel removes that cost:
+#   * BOTH caches are slot-major (L, B, M, HD) int8 — a slot is a sublane row,
+#   * content scores run TRANSPOSED: per row, dot_general contracts HD between
+#     the (M, HD) K panel and the head-masked (H, HD) query block → (M, H)
+#     scores; the relative term is one (M+1, HD) × (RH, HD) contraction for
+#     the whole cell; softmax reduces over sublanes,
+#   * the kernel's only cache WRITES are 32-sublane slabs around the ring
+#     slot (int8 tile height), addressed dynamically via scalar-prefetch
+#     index maps: lambda s, i, b: (i, b, s[0] // 32, 0) — per step that is
+#     R·32·HD bytes per cell (~25 MB total at B=64/mem 512) instead of the
+#     full ~400 MB cache,
+#   * per-slot scales live in (L, B, M, 1) fp32 sidecars, written the same
+#     slab way, applied as (M, 1) column broadcasts,
+#   * per-head self terms / normalizers avoid in-kernel transposes by
+#     contracting against the static head-mask matrix: (1, H) @ (H, HD)
+#     broadcasts a per-head scalar across that head's lanes.
+# score_mode: "bf16" upcasts the int8 panels before the MXU ops (exact wrt
+# the int8 cache); "int8" quantizes queries (per cell) and probabilities
+# (per row) and runs int8×int8 MXU contractions — no upcast pass at all.
+# ---------------------------------------------------------------------------
+
+def _make_slab_kernel(cfg, M: int, R: int, score_mode: str):
+    H, Dh, D, Dff = cfg.n_heads, cfg.d_head, cfg.d_model, cfg.d_inner
+    HD = H * Dh
+    RH = R * H
+    scale = 1.0 / math.sqrt(Dh) if cfg.scale else 1.0
+    act = cfg.act
+    SLAB = 32  # int8 sublane tile height
+
+    def _expand_rows(x, reps, cols):
+        return jnp.broadcast_to(x[:, None, :], (R, reps, cols)).reshape(R * reps, cols)
+
+    dot_t = lambda a, b: jax.lax.dot_general(  # contract last dims: (X,C),(Y,C)→(X,Y)
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dot_t_i32 = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    dot_s = lambda a, b: jax.lax.dot_general(  # contract first dims: (C,X),(C,Y)→(X,Y)
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dot_s_i32 = lambda a, b: jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+
+    def kernel(s_ref,
+               qkv_w, out_w, ff1_w, ff1_b, ff2_w, ff2_b,
+               ln1_g, ln1_b, ln2_g, ln2_b,
+               wkr_mt,                          # (1, M+1, HD)
+               u_ref, v_ref,
+               kt, ksc, vc, vsc,                # (1,R,M,HD) int8 / (1,R,M,1) f32
+               h_in, blocked,
+               h_out, kt_slab, ks_slab, vc_slab, vs_slab,
+               h_scr, sc_scr, attn_scr):
+        li = pl.program_id(0)
+        bi = pl.program_id(1)
+        p = s_ref[0]
+        tile = (p // SLAB) * SLAB
+        off = p - tile
+
+        @pl.when(li == 0)
+        def _init():
+            h_scr[pl.ds(bi * R, R), :] = h_in[:, :].astype(jnp.float32)
+
+        h32 = h_scr[pl.ds(bi * R, R), :]
+        hb = h32.astype(qkv_w.dtype)
+        qkv = jnp.dot(hb, qkv_w[0], preferred_element_type=jnp.float32)
+        q = qkv[:, 0:HD]
+        k1 = qkv[:, HD:2 * HD]
+        v1 = qkv[:, 2 * HD:3 * HD]
+
+        # fresh-slot quantization + 32-sublane slab merges (the only writes)
+        kabs = jnp.max(jnp.abs(k1), axis=1, keepdims=True)
+        ksc_new = jnp.maximum(kabs, 1e-6) * (1.0 / 127.0)
+        k1q = jnp.clip(jnp.round(k1 / ksc_new), -127.0, 127.0)
+        vabs = jnp.max(jnp.abs(v1), axis=1, keepdims=True)
+        vsc_new = jnp.maximum(vabs, 1e-6) * (1.0 / 127.0)
+        v1q = jnp.clip(jnp.round(v1 / vsc_new), -127.0, 127.0)
+
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (R, SLAB, 1), 1)
+        kt_slab[0] = jnp.where(rowi == off, k1q.reshape(R, 1, HD).astype(kt.dtype),
+                               kt[0, :, pl.ds(tile, SLAB), :])
+        vc_slab[0] = jnp.where(rowi == off, v1q.reshape(R, 1, HD).astype(vc.dtype),
+                               vc[0, :, pl.ds(tile, SLAB), :])
+        ks_slab[0] = jnp.where(rowi == off, ksc_new.reshape(R, 1, 1),
+                               ksc[0, :, pl.ds(tile, SLAB), :])
+        vs_slab[0] = jnp.where(rowi == off, vsc_new.reshape(R, 1, 1),
+                               vsc[0, :, pl.ds(tile, SLAB), :])
+
+        qu = q.astype(qkv_w.dtype) + u_ref[:, :]
+        qv = q.astype(qkv_w.dtype) + v_ref[:, :]
+        rowhead = jax.lax.broadcasted_iota(jnp.int32, (RH, HD), 0) % H
+        colhead = jax.lax.broadcasted_iota(jnp.int32, (RH, HD), 1) // Dh
+        hm = rowhead == colhead
+        qu2 = jnp.where(hm, _expand_rows(qu, H, HD), 0)
+        qv2 = jnp.where(hm, _expand_rows(qv, H, HD), 0)
+
+        # relative term for the whole cell: (M+1, HD) × (RH, HD) → (M+1, RH)
+        sd = dot_t(wkr_mt[0], qv2)
+        # self terms as (1, RH) rows via ones-contract (no transposes)
+        prod = qu2.astype(jnp.float32) * _expand_rows(k1, H, HD)
+        selfac = dot_t(jnp.ones((1, HD), jnp.float32), prod)       # (1, RH)
+
+        if score_mode == "int8":
+            qmax = jnp.max(jnp.abs(qu2))
+            qs = jnp.maximum(qmax, 1e-6) * (1.0 / 127.0)
+            qu2_i = jnp.clip(jnp.round(qu2.astype(jnp.float32) / qs),
+                             -127.0, 127.0).astype(jnp.int8)
+        for r in range(R):
+            if score_mode == "int8":
+                ac_r = dot_t_i32(kt[0, r], qu2_i[r * H:(r + 1) * H, :]) \
+                    .astype(jnp.float32) * (ksc[0, r] * qs)         # (M, H)
+            else:
+                kt_bf = kt[0, r].astype(qkv_w.dtype)                # (M, HD)
+                ac_r = dot_t(kt_bf, qu2[r * H:(r + 1) * H, :]) * ksc[0, r]
+            sc_scr[0:M, pl.ds(r * H, H)] = ac_r
+
+        ac = sc_scr[0:M, 0:RH]                                      # (M, RH)
+        bd = pltpu.roll(sd[0:M, :], p, 0)
+        score = (ac + bd) * scale
+        self_score = (selfac + sd[M:M + 1, :]) * scale              # (1, RH)
+        # mask: blocked is (R, M); in the (M, RH) orientation column r*H+h
+        # masks on blocked[r, m] — applied via per-row (M, 1) column writes
+        for r in range(R):
+            col = blocked[r:r + 1, :].reshape(M, 1)             # (M, 1)
+            sc_scr[0:M, pl.ds(r * H, H)] = jnp.where(
+                col != 0, NEG_INF, score[:, r * H:(r + 1) * H])
+        score = sc_scr[0:M, 0:RH]
+        m = jnp.maximum(jnp.max(score, axis=0, keepdims=True), self_score)
+        e = jnp.exp(score - m)                                      # (M, RH)
+        e_self = jnp.exp(self_score - m)                            # (1, RH)
+        denom = jnp.sum(e, axis=0, keepdims=True) + e_self          # (1, RH)
+
+        hm_h = hm[0:H, :].astype(jnp.float32)                       # (H, HD)
+        for r in range(R):
+            e_r = e[:, r * H:(r + 1) * H] * vsc[0, r]                 # (M, H)
+            if score_mode == "int8":
+                emax = jnp.max(e_r)
+                es = jnp.maximum(emax, 1e-9) * (1.0 / 127.0)
+                e_i = jnp.clip(jnp.round(e_r / es), 0.0, 127.0).astype(jnp.int8)
+                pv = dot_s_i32(e_i, vc[0, r]).astype(jnp.float32) * es
+            else:
+                pv = dot_s(e_r.astype(qkv_w.dtype),
+                           vc[0, r].astype(qkv_w.dtype))            # (H, HD)
+            num = jnp.sum(pv * hm_h, axis=0, keepdims=True)         # (1, HD)
+            w_self = jnp.dot(e_self[:, r * H:(r + 1) * H], hm_h,
+                             preferred_element_type=jnp.float32)    # (1, HD)
+            d_lane = jnp.dot(denom[:, r * H:(r + 1) * H], hm_h,
+                             preferred_element_type=jnp.float32)
+            attn_scr[pl.ds(r, 1), :] = (num + w_self * v1[r:r + 1, :]) / d_lane
+
+        attn_all = attn_scr[0:R, :].astype(hb.dtype)
+        out = jnp.dot(attn_all, out_w[0], preferred_element_type=jnp.float32)
+        h1 = _ln(h32 + out, ln1_g[0], ln1_b[0])
+        ffx = jnp.dot(h1.astype(hb.dtype), ff1_w[0], preferred_element_type=jnp.float32)
+        ffx = ffx + ff1_b[0].astype(jnp.float32)
+        if act == "gelu":
+            c = math.sqrt(2.0 / math.pi)
+            ffx = 0.5 * ffx * (1.0 + jnp.tanh(c * (ffx + 0.044715 * ffx ** 3)))
+        else:
+            ffx = jnp.maximum(ffx, 0.0)
+        ffy = jnp.dot(ffx.astype(hb.dtype), ff2_w[0], preferred_element_type=jnp.float32)
+        ffy = ffy + ff2_b[0].astype(jnp.float32)
+        h2 = _ln(h1 + ffy, ln2_g[0], ln2_b[0])
+        h_scr[pl.ds(bi * R, R), :] = h2
+        h_out[:, :] = h2
+
+    return kernel
+
+
+def quantize_kv_slot_major(kt_s: jnp.ndarray, vc_s: jnp.ndarray):
+    """Quantize slot-major (L, B, M, HD) K/V panels → int8 + (L, B, M, 1) scales."""
+    def q(a):
+        amax = jnp.max(jnp.abs(a.astype(jnp.float32)), axis=3, keepdims=True)
+        s = jnp.maximum(amax, 1e-6) / 127.0
+        return (jnp.clip(jnp.round(a.astype(jnp.float32) / s), -127, 127)
+                .astype(jnp.int8), s)
+    kq, ks = q(kt_s)
+    vq, vs = q(vc_s)
+    return kq, ks, vq, vs
+
+
+def fused_slab_core(
+    stacked: StackedTXL,
+    cfg,
+    h_in: jnp.ndarray,       # (B, D) fp32
+    wkr_mt: jnp.ndarray,     # (L, M+1, HD) bf16
+    kt: jnp.ndarray,         # (L, B, M, HD) int8
+    ks: jnp.ndarray,         # (L, B, M, 1) fp32
+    vc: jnp.ndarray,         # (L, B, M, HD) int8
+    vs: jnp.ndarray,         # (L, B, M, 1) fp32
+    blocked: jnp.ndarray,    # (B, M) int32
+    ptr: jnp.ndarray,        # () int32
+    mem_len: int,
+    rows_per_cell: int = 8,
+    score_mode: str = "bf16",
+    interpret: bool = False,
+):
+    """Slab-write decode core. Returns (h_out, kt', ks', vc', vs')."""
+    L, D, Dff = cfg.n_layers, cfg.d_model, cfg.d_inner
+    H, Dh, M = cfg.n_heads, cfg.d_head, mem_len
+    HD = H * Dh
+    B = h_in.shape[0]
+    R = rows_per_cell
+    SLAB = 32
+    assert B % R == 0 and M % SLAB == 0
+
+    lspec = lambda shape: pl.BlockSpec(
+        (1, *shape), lambda i, b, s: (i, *([0] * len(shape))),
+        memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    cache_in = lambda lanes: pl.BlockSpec(
+        (1, R, M, lanes), lambda i, b, s: (i, b, 0, 0), memory_space=pltpu.VMEM)
+    slab_out = lambda lanes: pl.BlockSpec(
+        (1, R, SLAB, lanes), lambda i, b, s: (i, b, s[0] // SLAB, 0),
+        memory_space=pltpu.VMEM)
+
+    kernel = _make_slab_kernel(cfg, M, R, score_mode)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, B // R),
+        in_specs=[
+            lspec((D, 3 * HD)), lspec((HD, D)),
+            lspec((D, Dff)), lspec((1, Dff)),
+            lspec((Dff, D)), lspec((1, D)),
+            lspec((1, D)), lspec((1, D)), lspec((1, D)), lspec((1, D)),
+            lspec((M + 1, HD)),
+            full(), full(),
+            cache_in(HD), cache_in(1), cache_in(HD), cache_in(1),
+            pl.BlockSpec((R, D), lambda i, b, s: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M), lambda i, b, s: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, D), lambda i, b, s: (b, 0), memory_space=pltpu.VMEM),
+            slab_out(HD), slab_out(1), slab_out(HD), slab_out(1),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32),
+                        pltpu.VMEM((M, R * H), jnp.float32),
+                        pltpu.VMEM((R, HD), jnp.float32)],
+    )
+    # cache operands (14..17, scalar-prefetch excluded) alias outputs 1..4.
+    # Aliasing + slab out_specs = only the 32-slot band is ever written; the
+    # rest of the (donated) buffer keeps its bytes.
+    h_out, kt2, ks2, vc2, vs2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct(kt.shape, kt.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ],
+        input_output_aliases={14: 1, 15: 2, 16: 3, 17: 4},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(jnp.reshape(ptr, (1,)).astype(jnp.int32),
+      stacked.qkv_w, stacked.out_w, stacked.ff1_w, stacked.ff1_b,
+      stacked.ff2_w, stacked.ff2_b,
+      stacked.ln1_g, stacked.ln1_b, stacked.ln2_g, stacked.ln2_b,
+      wkr_mt, stacked.u, stacked.v, kt, ks, vc, vs, h_in, blocked)
+    return h_out, kt2, ks2, vc2, vs2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mem_len", "rows_per_cell",
+                                    "score_mode", "interpret"),
+                   donate_argnums=(4, 5, 6, 7))
+def fused_slab_decode(
+    stacked: StackedTXL,
+    cfg,
+    h_in: jnp.ndarray,
+    wkr_mt: jnp.ndarray,
+    kt: jnp.ndarray,
+    ks: jnp.ndarray,
+    vc: jnp.ndarray,
+    vs: jnp.ndarray,
+    blocked: jnp.ndarray,
+    ptr: jnp.ndarray,
+    mem_len: int,
+    rows_per_cell: int = 8,
+    score_mode: str = "bf16",
+    interpret: bool = False,
+):
+    """Jitted wrapper (tests/standalone use)."""
+    return fused_slab_core(
+        stacked, cfg, h_in, wkr_mt, kt, ks, vc, vs, blocked,
+        jnp.reshape(ptr, ()), mem_len, rows_per_cell=rows_per_cell,
+        score_mode=score_mode, interpret=interpret)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "mem_len", "rows_per_cell", "interpret"),
                    donate_argnums=(4, 5, 6, 7))
