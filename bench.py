@@ -52,23 +52,33 @@ def run_decode_bench(n_words: int, warmup_words: int = 32, batch: int = 1):
                                     genre="electronic").trim_to_beat(32).remove_eos()
     seed = seed_item.data
 
-    gen = lambda nw, s: engine.generate(
-        seed, n_words=nw, temperatures=(1.8, 1.8, 1.0), min_bars=1_000_000,
-        top_k=30, top_p=0.65, seed=s)
-
-    # warmup/compile for both shapes
-    t0 = time.time()
-    gen(warmup_words, 0)
-    gen(n_words, 0)
-    compile_s = time.time() - t0
-
-    t0 = time.time()
-    out = gen(n_words, 1)
-    dt = time.time() - t0
-    tps = n_words / dt
-    log(f"decode: {n_words} tokens in {dt:.3f}s → {tps:.1f} tok/s "
-        f"(compile {compile_s:.1f}s, emitted {len(out)})")
-    return tps, dt
+    # primary metric = the fastest single-stream path (single-stream decode
+    # is weight-bandwidth-bound → slab_w8's int8 weights roughly halve the
+    # per-step HBM bytes); fall back to the default path off-TPU
+    kernels = ([None] if jax.default_backend() != "tpu"
+               else ["slab_w8", None])
+    best = (0.0, float("inf"))
+    for kernel in kernels:
+        gen = lambda nw, s: engine.generate(
+            seed, n_words=nw, temperatures=(1.8, 1.8, 1.0), min_bars=1_000_000,
+            top_k=30, top_p=0.65, seed=s, decode_kernel=kernel)
+        try:
+            t0 = time.time()
+            gen(warmup_words, 0)
+            gen(n_words, 0)
+            compile_s = time.time() - t0
+            t0 = time.time()
+            out = gen(n_words, 1)
+            dt = time.time() - t0
+        except Exception as e:
+            log(f"decode kernel {kernel} failed: {e}")
+            continue
+        tps = n_words / dt
+        log(f"decode [{kernel or 'auto'}]: {n_words} tokens in {dt:.3f}s → "
+            f"{tps:.1f} tok/s (compile {compile_s:.1f}s, emitted {len(out)})")
+        if tps > best[0]:
+            best = (tps, dt)
+    return best
 
 
 def run_multitask_bench():
@@ -202,7 +212,7 @@ def run_batched_bench(batch: int = 64, n_words: int = 256):
                         "/root/reference/Undertale_-_Megalovania.mid"] * (batch // 2)]
     tok_time = time.time() - t0
     results = {}
-    for kernel in ("multirow", "multirow_int8", "slab", "slab_int8"):
+    for kernel in ("multirow", "multirow_int8", "slab", "slab_int8", "slab_w8"):
         try:
             engine.generate_batch(seeds, n_words=n_words, min_bars=1_000_000,
                                   seed=0, decode_kernel=kernel)

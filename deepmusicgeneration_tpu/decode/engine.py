@@ -53,6 +53,7 @@ class SamplerSettings:
     rows_per_cell: int = 8     # batch rows per fused-kernel grid cell
     slab: bool = False         # slot-major int8 cache + 32-slot slab writes
     score_mode: str = "bf16"   # slab kernel score path: 'bf16' | 'int8'
+    weights_int8: bool = False # int8 weights, upcast once/layer in VMEM
 
 
 class DecodeTables(NamedTuple):
@@ -237,13 +238,17 @@ def generate_compiled(
             kq, ksc, vq, vsc = quantize_kv_slot_major(kt_s, vc_s)
             wkr_mt = txl.precompute_wkr(params, cfg, M) \
                 .transpose(0, 2, 1, 3).reshape(L, M + 1, HD)
+            w_scales = None
+            if settings.weights_int8:
+                stacked, w_scales = stacked  # (quantized stack, scale panel)
 
             def run_stack(kv, idx, blocked, ptr):
                 kq, ksc, vq, vsc = kv
                 h_out, kq, ksc, vq, vsc = fused_slab_core(
                     stacked, cfg, embed32[idx], wkr_mt, kq, ksc, vq, vsc,
                     blocked, ptr, M, rows_per_cell=settings.rows_per_cell,
-                    score_mode=settings.score_mode)
+                    score_mode=settings.score_mode,
+                    weights_int8=settings.weights_int8, w_scales=w_scales)
                 return (kq, ksc, vq, vsc), h_out
 
             kv0 = (kq, ksc, vq, vsc)
@@ -355,24 +360,30 @@ class GenerationEngine:
         self.strict_grammar = strict_grammar
         self._tables = {}
         self._stacked = None
+        self._stacked_q = None
 
-    def _fused_ok(self, B: int, kv_int8: bool, rows_per_cell: int = 8) -> bool:
-        """The multi-row Pallas decode kernel applies when: TPU backend, bf16
+    def _fused_ok(self, B: int, kv_int8: bool) -> bool:
+        """The fused Pallas decode kernels apply when: TPU backend, bf16
         bias-free config without beat-position embeddings (the genre flagship
-        shape), batch divisible by the cell row count, unsharded. kv_int8
-        selects the int8-cache kernel variant (fused_multirow_q_core)."""
+        shape), unsharded. The cell row count adapts to any batch size."""
         return (jax.default_backend() == "tpu"
                 and self.mesh is None
                 and self.cfg.dtype == "bfloat16"
                 and not self.cfg.bias
-                and not self.cfg.encode_position
-                and B % rows_per_cell == 0)
+                and not self.cfg.encode_position)
 
     def stacked(self):
         if self._stacked is None:
             from ..ops.fused_decode import stack_txl_layers
             self._stacked = stack_txl_layers(self.params)
         return self._stacked
+
+    def stacked_q(self):
+        """(int8-weight StackedTXL, w_scales) for the slab_w8 kernel."""
+        if self._stacked_q is None:
+            from ..ops.fused_decode import quantize_stacked_weights
+            self._stacked_q = quantize_stacked_weights(self.stacked())
+        return self._stacked_q
 
     def tables(self, temp_mode: str) -> DecodeTables:
         if temp_mode not in self._tables:
@@ -427,7 +438,8 @@ class GenerationEngine:
         """``decode_kernel``: None = auto (best available for the config);
         explicit values: 'xla' (lax ring step), 'multirow' (bf16 Pallas),
         'multirow_int8', 'slab' (slot-major int8 + slab writes, bf16 scores),
-        'slab_int8' (int8 MXU scores too)."""
+        'slab_int8' (int8 MXU scores too), 'slab_w8' (slab + int8 weights
+        upcast once per layer in VMEM)."""
         from ..codec.index import position_enc
 
         B = len(seeds)
@@ -456,14 +468,16 @@ class GenerationEngine:
                              else "xla")
         if decode_kernel != "xla" and not fused_ok:
             raise ValueError(f"decode_kernel={decode_kernel!r} needs the TPU "
-                             "fused path (bf16 bias-free config, batch % "
-                             "rows_per_cell == 0, unsharded)")
+                             "fused path (bf16 bias-free config, unsharded)")
+        rpc = next(r for r in (8, 4, 2, 1) if B % r == 0)
         settings = SamplerSettings(
             n_words=n_words, top_k=top_k, temp_mode=temp_mode, greedy=greedy,
             kv_int8=kv_int8 or decode_kernel in ("multirow_int8",),
             fused=decode_kernel != "xla",
-            slab=decode_kernel in ("slab", "slab_int8"),
-            score_mode="int8" if decode_kernel == "slab_int8" else "bf16")
+            rows_per_cell=rpc,
+            slab=decode_kernel in ("slab", "slab_int8", "slab_w8"),
+            score_mode="int8" if decode_kernel == "slab_int8" else "bf16",
+            weights_int8=decode_kernel == "slab_w8")
         tables = self.tables(temp_mode)
         from ..codec.grammar import allowed_ins_mask
         ins_mask = jnp.asarray(allowed_ins_mask(self.vocab, allowed_ins))
@@ -495,6 +509,8 @@ class GenerationEngine:
             jnp.asarray(np.float32(top_p)), jnp.asarray(np.int32(min_bars)),
             ins_mask, jax.random.PRNGKey(seed), settings,
             window=W, mem_len=mem_len,
-            stacked=self.stacked() if settings.fused else None)
+            stacked=(None if not settings.fused
+                     else self.stacked_q() if settings.weights_int8
+                     else self.stacked()))
         self.last_sharding = out.sharding  # inspectable by callers/tests
         return np.asarray(out)[:B], np.asarray(lengths)[:B]

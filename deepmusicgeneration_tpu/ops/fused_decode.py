@@ -901,7 +901,8 @@ def fused_multirow_q_core(
 # (per row) and runs int8×int8 MXU contractions — no upcast pass at all.
 # ---------------------------------------------------------------------------
 
-def _make_slab_kernel(cfg, M: int, R: int, score_mode: str):
+def _make_slab_kernel(cfg, M: int, R: int, score_mode: str,
+                      weights_int8: bool = False):
     H, Dh, D, Dff = cfg.n_heads, cfg.d_head, cfg.d_model, cfg.d_inner
     HD = H * Dh
     RH = R * H
@@ -925,24 +926,50 @@ def _make_slab_kernel(cfg, M: int, R: int, score_mode: str):
                qkv_w, out_w, ff1_w, ff1_b, ff2_w, ff2_b,
                ln1_g, ln1_b, ln2_g, ln2_b,
                wkr_mt,                          # (1, M+1, HD)
-               u_ref, v_ref,
+               u_ref, v_ref, w_scales,          # (1, 8, D_SCALE) fp32 (int8-w)
                kt, ksc, vc, vsc,                # (1,R,M,HD) int8 / (1,R,M,1) f32
                h_in, blocked,
                h_out, kt_slab, ks_slab, vc_slab, vs_slab,
-               h_scr, sc_scr, attn_scr):
+               h_scr, sc_scr, attn_scr,
+               qkv_scr=None, out_scr=None, ff1_scr=None, ff2_scr=None):
         li = pl.program_id(0)
         bi = pl.program_id(1)
         p = s_ref[0]
         tile = (p // SLAB) * SLAB
         off = p - tile
+        wdt = jnp.bfloat16 if weights_int8 else qkv_w.dtype
 
         @pl.when(li == 0)
         def _init():
             h_scr[pl.ds(bi * R, R), :] = h_in[:, :].astype(jnp.float32)
 
+        if weights_int8:
+            # upcast this layer's int8 weights ONCE (first batch cell) into
+            # persistent VMEM scratch; per-output-column scales from the
+            # packed (8, max_cols) scale panel (row: 0=qkv 1=out 2=ff1 3=ff2)
+            @pl.when(bi == 0)
+            def _upcast():
+                qkv_scr[:, :] = (qkv_w[0].astype(jnp.float32)
+                                 * w_scales[0, 0:1, 0:3 * HD]).astype(jnp.bfloat16)
+                out_scr[:, :] = (out_w[0].astype(jnp.float32)
+                                 * w_scales[0, 1:2, 0:D]).astype(jnp.bfloat16)
+                ff1_scr[:, :] = (ff1_w[0].astype(jnp.float32)
+                                 * w_scales[0, 2:3, 0:Dff]).astype(jnp.bfloat16)
+                ff2_scr[:, :] = (ff2_w[0].astype(jnp.float32)
+                                 * w_scales[0, 3:4, 0:D]).astype(jnp.bfloat16)
+            W_qkv = lambda: qkv_scr[:, :]
+            W_out = lambda: out_scr[:, :]
+            W_ff1 = lambda: ff1_scr[:, :]
+            W_ff2 = lambda: ff2_scr[:, :]
+        else:
+            W_qkv = lambda: qkv_w[0]
+            W_out = lambda: out_w[0]
+            W_ff1 = lambda: ff1_w[0]
+            W_ff2 = lambda: ff2_w[0]
+
         h32 = h_scr[pl.ds(bi * R, R), :]
-        hb = h32.astype(qkv_w.dtype)
-        qkv = jnp.dot(hb, qkv_w[0], preferred_element_type=jnp.float32)
+        hb = h32.astype(wdt)
+        qkv = jnp.dot(hb, W_qkv(), preferred_element_type=jnp.float32)
         q = qkv[:, 0:HD]
         k1 = qkv[:, HD:2 * HD]
         v1 = qkv[:, 2 * HD:3 * HD]
@@ -965,8 +992,8 @@ def _make_slab_kernel(cfg, M: int, R: int, score_mode: str):
         vs_slab[0] = jnp.where(rowi == off, vsc_new.reshape(R, 1, 1),
                                vsc[0, :, pl.ds(tile, SLAB), :])
 
-        qu = q.astype(qkv_w.dtype) + u_ref[:, :]
-        qv = q.astype(qkv_w.dtype) + v_ref[:, :]
+        qu = q.astype(wdt) + u_ref[:, :]
+        qv = q.astype(wdt) + v_ref[:, :]
         rowhead = jax.lax.broadcasted_iota(jnp.int32, (RH, HD), 0) % H
         colhead = jax.lax.broadcasted_iota(jnp.int32, (RH, HD), 1) // Dh
         hm = rowhead == colhead
@@ -989,7 +1016,7 @@ def _make_slab_kernel(cfg, M: int, R: int, score_mode: str):
                 ac_r = dot_t_i32(kt[0, r], qu2_i[r * H:(r + 1) * H, :]) \
                     .astype(jnp.float32) * (ksc[0, r] * qs)         # (M, H)
             else:
-                kt_bf = kt[0, r].astype(qkv_w.dtype)                # (M, HD)
+                kt_bf = kt[0, r].astype(wdt)                # (M, HD)
                 ac_r = dot_t(kt_bf, qu2[r * H:(r + 1) * H, :]) * ksc[0, r]
             sc_scr[0:M, pl.ds(r * H, H)] = ac_r
 
@@ -1018,8 +1045,8 @@ def _make_slab_kernel(cfg, M: int, R: int, score_mode: str):
                 e_i = jnp.clip(jnp.round(e_r / es), 0.0, 127.0).astype(jnp.int8)
                 pv = dot_s_i32(e_i, vc[0, r]).astype(jnp.float32) * es
             else:
-                pv = dot_s(e_r.astype(qkv_w.dtype),
-                           vc[0, r].astype(qkv_w.dtype))            # (H, HD)
+                pv = dot_s(e_r.astype(wdt),
+                           vc[0, r].astype(wdt))            # (H, HD)
             num = jnp.sum(pv * hm_h, axis=0, keepdims=True)         # (1, HD)
             w_self = jnp.dot(e_self[:, r * H:(r + 1) * H], hm_h,
                              preferred_element_type=jnp.float32)    # (1, HD)
@@ -1028,22 +1055,49 @@ def _make_slab_kernel(cfg, M: int, R: int, score_mode: str):
             attn_scr[pl.ds(r, 1), :] = (num + w_self * v1[r:r + 1, :]) / d_lane
 
         attn_all = attn_scr[0:R, :].astype(hb.dtype)
-        out = jnp.dot(attn_all, out_w[0], preferred_element_type=jnp.float32)
+        out = jnp.dot(attn_all, W_out(), preferred_element_type=jnp.float32)
         h1 = _ln(h32 + out, ln1_g[0], ln1_b[0])
-        ffx = jnp.dot(h1.astype(hb.dtype), ff1_w[0], preferred_element_type=jnp.float32)
+        ffx = jnp.dot(h1.astype(hb.dtype), W_ff1(), preferred_element_type=jnp.float32)
         ffx = ffx + ff1_b[0].astype(jnp.float32)
         if act == "gelu":
             c = math.sqrt(2.0 / math.pi)
             ffx = 0.5 * ffx * (1.0 + jnp.tanh(c * (ffx + 0.044715 * ffx ** 3)))
         else:
             ffx = jnp.maximum(ffx, 0.0)
-        ffy = jnp.dot(ffx.astype(hb.dtype), ff2_w[0], preferred_element_type=jnp.float32)
+        ffy = jnp.dot(ffx.astype(hb.dtype), W_ff2(), preferred_element_type=jnp.float32)
         ffy = ffy + ff2_b[0].astype(jnp.float32)
         h2 = _ln(h1 + ffy, ln2_g[0], ln2_b[0])
         h_scr[pl.ds(bi * R, R), :] = h2
         h_out[:, :] = h2
 
     return kernel
+
+
+def quantize_stacked_weights(stacked: StackedTXL):
+    """Per-output-column int8 quantization of the big weight panels.
+
+    Returns (StackedTXL with int8 qkv/out/ff1/ff2, w_scales (L, 8, SMAX) f32)
+    where scale row 0/1/2/3 holds the qkv/out/ff1/ff2 column scales (padded
+    to the widest panel). ln/bias/u/v stay full precision.
+    """
+    def q(w):
+        a = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=1, keepdims=True)
+        s = jnp.maximum(a, 1e-8) / 127.0                      # (L, 1, N)
+        wq = jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127) \
+            .astype(jnp.int8)
+        return wq, s[:, 0, :]
+    qkv_q, s0 = q(stacked.qkv_w)
+    out_q, s1 = q(stacked.out_w)
+    ff1_q, s2 = q(stacked.ff1_w)
+    ff2_q, s3 = q(stacked.ff2_w)
+    L = qkv_q.shape[0]
+    smax = max(s.shape[1] for s in (s0, s1, s2, s3))
+    pad = lambda s: jnp.pad(s, ((0, 0), (0, smax - s.shape[1])))
+    zero = jnp.zeros((L, smax), jnp.float32)
+    w_scales = jnp.stack([pad(s0), pad(s1), pad(s2), pad(s3),
+                          zero, zero, zero, zero], axis=1)    # (L, 8, smax)
+    return stacked._replace(qkv_w=qkv_q, out_w=out_q, ff1_w=ff1_q,
+                            ff2_w=ff2_q), w_scales
 
 
 def quantize_kv_slot_major(kt_s: jnp.ndarray, vc_s: jnp.ndarray):
@@ -1072,6 +1126,8 @@ def fused_slab_core(
     mem_len: int,
     rows_per_cell: int = 8,
     score_mode: str = "bf16",
+    weights_int8: bool = False,
+    w_scales: jnp.ndarray = None,   # (L, 8, SMAX) f32 when weights_int8
     interpret: bool = False,
 ):
     """Slab-write decode core. Returns (h_out, kt', ks', vc', vs')."""
@@ -1082,6 +1138,9 @@ def fused_slab_core(
     R = rows_per_cell
     SLAB = 32
     assert B % R == 0 and M % SLAB == 0
+    SMAX = max(3 * HD, D, Dff)
+    if w_scales is None:
+        w_scales = jnp.zeros((L, 8, SMAX), jnp.float32)
 
     lspec = lambda shape: pl.BlockSpec(
         (1, *shape), lambda i, b, s: (i, *([0] * len(shape))),
@@ -1093,7 +1152,7 @@ def fused_slab_core(
         (1, R, SLAB, lanes), lambda i, b, s: (i, b, s[0] // SLAB, 0),
         memory_space=pltpu.VMEM)
 
-    kernel = _make_slab_kernel(cfg, M, R, score_mode)
+    kernel = _make_slab_kernel(cfg, M, R, score_mode, weights_int8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(L, B // R),
@@ -1104,6 +1163,7 @@ def fused_slab_core(
             lspec((1, D)), lspec((1, D)), lspec((1, D)), lspec((1, D)),
             lspec((M + 1, HD)),
             full(), full(),
+            lspec((8, SMAX)),
             cache_in(HD), cache_in(1), cache_in(HD), cache_in(1),
             pl.BlockSpec((R, D), lambda i, b, s: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, M), lambda i, b, s: (b, 0), memory_space=pltpu.VMEM),
@@ -1114,11 +1174,15 @@ def fused_slab_core(
         ],
         scratch_shapes=[pltpu.VMEM((B, D), jnp.float32),
                         pltpu.VMEM((M, R * H), jnp.float32),
-                        pltpu.VMEM((R, HD), jnp.float32)],
+                        pltpu.VMEM((R, HD), jnp.float32)]
+        + ([pltpu.VMEM((D, 3 * HD), jnp.bfloat16),
+            pltpu.VMEM((HD, D), jnp.bfloat16),
+            pltpu.VMEM((D, Dff), jnp.bfloat16),
+            pltpu.VMEM((Dff, D), jnp.bfloat16)] if weights_int8 else []),
     )
-    # cache operands (14..17, scalar-prefetch excluded) alias outputs 1..4.
-    # Aliasing + slab out_specs = only the 32-slot band is ever written; the
-    # rest of the (donated) buffer keeps its bytes.
+    # cache operands (15..18, counting the scalar-prefetch arg at 0) alias
+    # outputs 1..4. Aliasing + slab out_specs = only the 32-slot band is ever
+    # written; the rest of the (donated) buffer keeps its bytes.
     h_out, kt2, ks2, vc2, vs2 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1129,7 +1193,7 @@ def fused_slab_core(
             jax.ShapeDtypeStruct(vc.shape, vc.dtype),
             jax.ShapeDtypeStruct(vs.shape, vs.dtype),
         ],
-        input_output_aliases={14: 1, 15: 2, 16: 3, 17: 4},
+        input_output_aliases={15: 1, 16: 2, 17: 3, 18: 4},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -1138,13 +1202,13 @@ def fused_slab_core(
       stacked.qkv_w, stacked.out_w, stacked.ff1_w, stacked.ff1_b,
       stacked.ff2_w, stacked.ff2_b,
       stacked.ln1_g, stacked.ln1_b, stacked.ln2_g, stacked.ln2_b,
-      wkr_mt, stacked.u, stacked.v, kt, ks, vc, vs, h_in, blocked)
+      wkr_mt, stacked.u, stacked.v, w_scales, kt, ks, vc, vs, h_in, blocked)
     return h_out, kt2, ks2, vc2, vs2
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "mem_len", "rows_per_cell",
-                                    "score_mode", "interpret"),
+                                    "score_mode", "weights_int8", "interpret"),
                    donate_argnums=(4, 5, 6, 7))
 def fused_slab_decode(
     stacked: StackedTXL,
@@ -1160,13 +1224,16 @@ def fused_slab_decode(
     mem_len: int,
     rows_per_cell: int = 8,
     score_mode: str = "bf16",
+    weights_int8: bool = False,
+    w_scales: jnp.ndarray = None,
     interpret: bool = False,
 ):
     """Jitted wrapper (tests/standalone use)."""
     return fused_slab_core(
         stacked, cfg, h_in, wkr_mt, kt, ks, vc, vs, blocked,
         jnp.reshape(ptr, ()), mem_len, rows_per_cell=rows_per_cell,
-        score_mode=score_mode, interpret=interpret)
+        score_mode=score_mode, weights_int8=weights_int8, w_scales=w_scales,
+        interpret=interpret)
 
 
 @functools.partial(jax.jit,

@@ -182,13 +182,14 @@ def test_multirow_q_kernel_matches_ring(setup):
     np.testing.assert_allclose(got_v_slot, ref_v_slot, atol=0.05)
 
 
-@pytest.mark.parametrize("score_mode", ["bf16", "int8"])
-def test_slab_kernel_matches_ring(setup, score_mode):
+@pytest.mark.parametrize("score_mode,weights_int8", [
+    ("bf16", False), ("int8", False), ("bf16", True)])
+def test_slab_kernel_matches_ring(setup, score_mode, weights_int8):
     """Slot-major slab-write kernel: logits within int8-cache noise of the
     fp reference; ONLY the 32-slot band around the ring pointer may change
     in the cache buffers."""
     from deepmusicgeneration_tpu.ops.fused_decode import (
-        fused_slab_decode, quantize_kv_slot_major)
+        fused_slab_decode, quantize_kv_slot_major, quantize_stacked_weights)
     cfg, params = setup
     M = cfg.mem_len
     L, H, Dh = cfg.n_layers, cfg.n_heads, cfg.d_head
@@ -220,17 +221,22 @@ def test_slab_kernel_matches_ring(setup, score_mode):
     kq, ks, vq, vs = quantize_kv_slot_major(kt_s, vc_s)
     kq0, vq0 = np.asarray(kq).copy(), np.asarray(vq).copy()
     wkr_mt = wkr.transpose(0, 2, 1, 3).reshape(L, M + 1, HD)
+    w_scales = None
+    if weights_int8:
+        stacked, w_scales = quantize_stacked_weights(stacked)
     h_out, kt2, ks2, vc2, vs2 = fused_slab_decode(
         stacked, cfg, h_in, wkr_mt, kq, ks, vq, vs, blocked, ptr, M,
-        rows_per_cell=R, score_mode=score_mode, interpret=True)
+        rows_per_cell=R, score_mode=score_mode, weights_int8=weights_int8,
+        w_scales=w_scales, interpret=True)
     logits = h_out @ params["embed"].T.astype(jnp.float32) + params["head_b"]
 
     ref = np.asarray(ref_logits)
     got = np.asarray(logits)
-    atol = 0.5 if score_mode == "bf16" else 1.0
+    atol = 0.5 if (score_mode == "bf16" and not weights_int8) else 1.0
     np.testing.assert_allclose(got, ref, atol=atol, rtol=0.1)
     agree = (np.argmax(got, -1) == np.argmax(ref, -1)).mean()
-    assert agree >= (0.9 if score_mode == "bf16" else 0.8), f"agreement {agree}"
+    assert agree >= (0.9 if score_mode == "bf16" and not weights_int8 else 0.8), \
+        f"agreement {agree}"
 
     # the written slot dequantizes to the reference K/V
     ref_k_slot = np.asarray(ref_cache.k[:, :, :, 39, :].astype(jnp.float32)) \
