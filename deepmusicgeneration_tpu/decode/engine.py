@@ -463,8 +463,11 @@ class GenerationEngine:
             temperatures = (temperatures[0], temperatures[1], temperatures[1])
         fused_ok = self._fused_ok(B, kv_int8)
         if decode_kernel is None:
-            decode_kernel = ("multirow_int8" if (kv_int8 and fused_ok)
-                             else "multirow" if fused_ok
+            # auto: fused multirow for batches with ≥8-row cells; explicit
+            # kernels (incl. the slab family) are opt-in via decode_kernel
+            fused_auto = fused_ok and B % 8 == 0
+            decode_kernel = ("multirow_int8" if (kv_int8 and fused_auto)
+                             else "multirow" if fused_auto
                              else "xla")
         if decode_kernel != "xla" and not fused_ok:
             raise ValueError(f"decode_kernel={decode_kernel!r} needs the TPU "
