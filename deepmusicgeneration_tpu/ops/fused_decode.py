@@ -1007,9 +1007,11 @@ def _make_slab_kernel(cfg, M: int, R: int, score_mode: str,
         selfac = dot_t(jnp.ones((1, HD), jnp.float32), prod)       # (1, RH)
 
         if score_mode == "int8":
-            qmax = jnp.max(jnp.abs(qu2))
+            # reduce in f32: Mosaic can't squeeze a bf16 array to a scalar
+            qu2_f = qu2.astype(jnp.float32)
+            qmax = jnp.max(jnp.abs(qu2_f))
             qs = jnp.maximum(qmax, 1e-6) * (1.0 / 127.0)
-            qu2_i = jnp.clip(jnp.round(qu2.astype(jnp.float32) / qs),
+            qu2_i = jnp.clip(jnp.round(qu2_f / qs),
                              -127.0, 127.0).astype(jnp.int8)
         for r in range(R):
             if score_mode == "int8":
