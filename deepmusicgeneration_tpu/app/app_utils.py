@@ -58,11 +58,15 @@ def createGenreContinuationModel(encode_position: bool = False,
                                  ) -> MusicLearner:
     """Genre/continuation model factory (app_utils.py:68-75).
 
-    Fallback chain: the given checkpoint → the committed demo checkpoint →
-    freshly initialised reference-config weights.
+    Fallback chain: the given checkpoint → the committed trained-at-scale
+    checkpoint (synth_genre_model, flagship config, generalization numbers in
+    docs/EVAL.json) → the committed demo checkpoint → freshly initialised
+    reference-config weights.
     """
     if _exists(ckpt_path):
         return MusicLearner.load(ckpt_path)
+    if not encode_position and _exists(_demo("synth_genre_model")):
+        return MusicLearner.load(_demo("synth_genre_model"))
     if _exists(_demo("demo_genre_model")):
         return MusicLearner.load(_demo("demo_genre_model"))
     cfg = btp_phase1_config().replace(encode_position=encode_position)

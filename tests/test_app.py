@@ -60,8 +60,18 @@ def test_app_factories_fallback_chain(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     app_utils.createGenreContinuationModel.cache_clear()
     m = app_utils.createGenreContinuationModel()
+    synth = os.path.join(app_utils._REPO_ROOT, "checkpoints", "synth_genre_model")
     demo = os.path.join(app_utils._REPO_ROOT, "checkpoints", "demo_genre_model")
-    if os.path.exists(os.path.join(demo, "manifest.json")):
+    if os.path.exists(os.path.join(synth, "manifest.json")):
+        # trained-at-scale checkpoint wins: flagship config with the exact
+        # committed weights (not a fresh init of the same config)
+        assert m.cfg.n_layers == 8 and m.cfg.d_inner == 3072
+        from deepmusicgeneration_tpu.train.checkpoint import load_checkpoint
+        ck_params, _, _, _, _ = load_checkpoint(synth)
+        np.testing.assert_array_equal(
+            np.asarray(m.params["embed"], dtype=np.float32),
+            np.asarray(ck_params["embed"], dtype=np.float32))
+    elif os.path.exists(os.path.join(demo, "manifest.json")):
         # committed demo checkpoint wins over fresh weights
         assert m.cfg.n_layers == 4 and m.cfg.d_model == 256
     else:

@@ -182,9 +182,11 @@ def test_multirow_q_kernel_matches_ring(setup):
     np.testing.assert_allclose(got_v_slot, ref_v_slot, atol=0.05)
 
 
-@pytest.mark.parametrize("score_mode,weights_int8", [
-    ("bf16", False), ("int8", False), ("bf16", True)])
-def test_slab_kernel_matches_ring(setup, score_mode, weights_int8):
+@pytest.mark.parametrize("score_mode,weights_int8,R", [
+    ("bf16", False, 8), ("int8", False, 8), ("bf16", True, 8),
+    # wide cells (16/32 rows) amortize MXU weight-tile loads — same math
+    ("bf16", False, 16), ("bf16", False, 32), ("int8", False, 32)])
+def test_slab_kernel_matches_ring(setup, score_mode, weights_int8, R):
     """Slot-major slab-write kernel: logits within int8-cache noise of the
     fp reference; ONLY the 32-slot band around the ring pointer may change
     in the cache buffers."""
@@ -194,7 +196,7 @@ def test_slab_kernel_matches_ring(setup, score_mode, weights_int8):
     M = cfg.mem_len
     L, H, Dh = cfg.n_layers, cfg.n_heads, cfg.d_head
     HD = H * Dh
-    B, R = 16, 8
+    B = max(16, R)
     rng = np.random.default_rng(9)
     k = jnp.asarray(rng.normal(scale=0.5, size=(L, B, H, M, Dh)), jnp.bfloat16)
     v = jnp.asarray(rng.normal(scale=0.5, size=(L, B, H, M, Dh)), jnp.bfloat16)
