@@ -125,7 +125,7 @@ class MusicLearner:
             step=jnp.zeros((), jnp.int32),
         )
         step_fn = jax.jit(make_train_step(self.cfg, optimizer, self.vocab.pad_idx),
-                          static_argnames=("win_size",), donate_argnums=(0,))
+                          donate_argnums=(0,))  # win_size traced: no recompiles
         rng = jax.random.PRNGKey(seed)
         host_rng = np.random.default_rng(seed)
         result = FitResult()
@@ -326,7 +326,9 @@ class MultitaskLearner:
             params = self.params
             opt_state = optimizer.init(params)
 
-            @functools.partial(jax.jit, static_argnames=("win_size", "win_k"))
+            # traced window args: the growing curriculum (win ≤ epoch+1)
+            # would otherwise recompile the 85M step once per new window size
+            @functools.partial(jax.jit)
             def step(params, opt_state, xd, yd, win_size=1, win_k=1):
                 def loss_fn(p):
                     out = mt.forward(p, cfg, xd, pad_idx=pad_idx,

@@ -97,11 +97,13 @@ def make_train_step(cfg: TXLConfig, optimizer, pad_idx: int) -> Callable:
 
     def loss_fn(params, batch, mem, rng, win_size):
         # rand_window_mask semantics: an active window (>1) uses diagonal 0
-        # (only completed windows visible), plain causal uses diagonal 1
+        # (only completed windows visible), plain causal uses diagonal 1.
+        # win_size is a TRACED scalar so the per-batch random window never
+        # recompiles the step (the mask math is all // and comparisons)
         logits, new_mem = txl.forward(
             params, cfg, batch["x"], pos=batch.get("pos"), state=mem,
             train=True, rng=rng, win_size=win_size,
-            win_k=0 if win_size > 1 else 1)
+            win_k=jnp.where(jnp.asarray(win_size) > 1, 0, 1))
         loss, acc = cross_entropy(logits, batch["y"], ignore_index=pad_idx)
         return loss, (acc, new_mem)
 
@@ -143,8 +145,8 @@ def make_sharded_train_step(cfg: TXLConfig, optimizer, pad_idx: int, mesh):
 
     base_step = make_train_step(cfg, optimizer, pad_idx)
 
-    @functools.partial(jax.jit, static_argnames=("win_size",), donate_argnums=(0,))
-    def step(state, batch, rng, win_size: int = 1):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch, rng, win_size=1):
         return base_step(state, batch, rng, win_size)
 
     def shard_state(state: TrainState) -> TrainState:
@@ -179,9 +181,10 @@ def make_sharded_multitask_step(cfg, optimizer, pad_idx: int, mesh):
     from ..models import multitask as mt
     from ..parallel.mesh import multitask_param_specs, shard_pytree
 
-    @functools.partial(jax.jit, static_argnames=("win_size", "win_k"),
-                       donate_argnums=(0, 1))
-    def step(params, opt_state, xd, yd, win_size: int = 1, win_k: int = 1):
+    # win_size/win_k are traced so the per-batch curriculum window never
+    # recompiles the step (each recompile of the 85M model costs minutes)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, xd, yd, win_size=1, win_k=1):
         def loss_fn(p):
             out = mt.forward(p, cfg, xd, pad_idx=pad_idx,
                              win_size=win_size, win_k=win_k)

@@ -171,3 +171,32 @@ def test_phase_timer_and_logger(tmp_path):
     import json
     rec = json.loads(open(logger.path).read().splitlines()[0])
     assert rec["event"] == "metrics" and rec["loss"] == 2.5
+
+
+def test_window_curriculum_does_not_recompile(vocab):
+    """The rand_window curriculum (win ≤ mask_steps, random per batch) must be
+    a TRACED argument of the train step: with the 85M production configs a
+    recompile per distinct window size costs minutes each (MTTrainer grows
+    the window every epoch, deep_music_remix.py:2794)."""
+    import functools
+    import jax.numpy as jnp
+    import optax
+    from deepmusicgeneration_tpu.models import txl
+    from deepmusicgeneration_tpu.train.loop import TrainState, make_train_step
+
+    cfg = small_test_config(len(vocab))
+    params = txl.init_txl(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    state = TrainState(params=params, opt_state=opt.init(params),
+                       mem=txl.init_state(cfg, 2), step=jnp.zeros((), jnp.int32))
+    step_fn = jax.jit(make_train_step(cfg, opt, vocab.pad_idx))
+    rng = jax.random.PRNGKey(0)
+    x = np.random.default_rng(0).integers(12, 140, (2, cfg.ctx_len))
+    batch = {"x": jnp.asarray(x, jnp.int32), "y": jnp.asarray(x, jnp.int32)}
+    losses = []
+    for win in (1, 2, 3, 7):
+        state, metrics = step_fn(state, batch, rng, win)
+        losses.append(float(metrics["loss"]))
+    assert step_fn._cache_size() == 1, \
+        f"{step_fn._cache_size()} compiles for 4 window sizes"
+    assert np.isfinite(losses).all()
