@@ -261,6 +261,7 @@ def prefill(
     pad_mask: jnp.ndarray,     # (B, W) True where x is left-padding
     pos: Optional[jnp.ndarray] = None,
     mem_len: Optional[int] = None,
+    flash: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Process a fixed-width prompt window, returning last-token logits and a
     KV cache holding the window's keys/values (right-aligned by construction).
@@ -268,6 +269,11 @@ def prefill(
     The prompt is left-padded so the most recent token sits at the window's
     last slot; padded columns are masked out of attention and contribute
     nothing to softmax, so cache validity is just the true prompt length.
+
+    ``flash``: use the Pallas VMEM-resident attention kernel
+    (ops/flash_prefill.py) instead of the XLA path that materializes
+    (B, H, W, W) scores in HBM (auto: on the TPU backend for bf16 configs up
+    to W=1024 — measured 214 ms → ~25 ms for B=64, W=512 on v5e).
     """
     B, W = x.shape
     dt = cfg.act_dtype
@@ -277,20 +283,40 @@ def prefill(
         emb = emb + beat_position_emb(params, cfg, pos).astype(dt)
     h = emb
     r = backwards_pos_enc(W, cfg.d_model, dtype=dt)
-    mask = causal_window_mask(W, 0, 1, 1)
-    mask = mask | pad_mask[:, None, None, :]
+    if flash is None:
+        flash = (jax.default_backend() == "tpu" and dt == jnp.bfloat16
+                 and W <= 1024)
+    if not flash:
+        mask = causal_window_mask(W, 0, 1, 1)
+        mask = mask | pad_mask[:, None, None, :]
 
     H, Dh = cfg.n_heads, cfg.d_head
+    HD = H * Dh
     ks, vs = [], []
     for lp in params["layers"]:
-        q, k, vv = _qkv(lp, h, H, Dh)
-        # cache the last M slots (B, M, H, Dh)
-        ks.append(k.transpose(0, 2, 1, 3)[:, -M:])
-        vs.append(vv.transpose(0, 2, 1, 3)[:, -M:])
-        wkr = _wkr(lp, r, H, Dh)
-        attn = rel_attention(q, k, vv, wkr, params["u"].astype(dt), params["v"].astype(dt),
-                             mask=mask, scale=cfg.scale, shift=True)
-        attn = attn.transpose(0, 2, 1, 3).reshape(B, W, H * Dh)
+        if flash:
+            from ..ops.flash_prefill import flash_prefill_attention
+            y = h @ lp["qkv_w"].astype(dt)
+            if lp["qkv_b"] is not None:
+                y = y + lp["qkv_b"].astype(dt)
+            q_f, k_f, v_f = jnp.split(y, 3, axis=-1)       # (B, W, HD) each
+            ks.append(k_f.reshape(B, W, H, Dh)[:, -M:])
+            vs.append(v_f.reshape(B, W, H, Dh)[:, -M:])
+            wkr_flat = r @ lp["r_w"].astype(dt)            # (W, HD), head-major
+            if lp["r_b"] is not None:
+                wkr_flat = wkr_flat + lp["r_b"].astype(dt)
+            attn = flash_prefill_attention(
+                q_f, k_f, v_f, wkr_flat, params["u"].astype(dt),
+                params["v"].astype(dt), pad_mask, H, scale=cfg.scale)
+        else:
+            q, k, vv = _qkv(lp, h, H, Dh)
+            # cache the last M slots (B, M, H, Dh)
+            ks.append(k.transpose(0, 2, 1, 3)[:, -M:])
+            vs.append(vv.transpose(0, 2, 1, 3)[:, -M:])
+            wkr = _wkr(lp, r, H, Dh)
+            attn = rel_attention(q, k, vv, wkr, params["u"].astype(dt), params["v"].astype(dt),
+                                 mask=mask, scale=cfg.scale, shift=True)
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, W, HD)
         out = attn @ lp["out_w"].astype(dt)
         if lp["out_b"] is not None:
             out = out + lp["out_b"].astype(dt)

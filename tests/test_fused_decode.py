@@ -292,3 +292,46 @@ def test_batched_fused_kernel_matches_ring(setup):
     np.testing.assert_allclose(
         np.asarray(kt2.transpose(0, 1, 2, 4, 3).astype(jnp.float32)),
         np.asarray(ref_cache.k.astype(jnp.float32)), atol=0.05)
+
+
+def test_flash_prefill_matches_xla_prefill(setup):
+    """VMEM-resident prefill attention kernel vs the XLA rel_attention path:
+    same last-token logits and identical KV cache (the kernel only changes
+    where scores live, not the math — skew/mask semantics per
+    deep_music_genre.py:1617-1646)."""
+    from unittest import mock
+    from deepmusicgeneration_tpu.ops import flash_prefill
+    cfg, params = setup
+    B, W = 4, cfg.ctx_len
+    rng = np.random.default_rng(3)
+    toks = jnp.asarray(rng.integers(12, 140, (B, W)), jnp.int32)
+    pad = jnp.zeros((B, W), bool)
+    # left-pad two rows to exercise the key-pad mask
+    pad = pad.at[0, :17].set(True).at[1, :5].set(True)
+    toks = jnp.where(pad, 1, toks)
+
+    ref_logits, ref_cache = txl.prefill(params, cfg, toks, pad, flash=False)
+
+    orig = flash_prefill.flash_prefill_attention
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch.object(flash_prefill, "flash_prefill_attention", interp):
+        got_logits, got_cache = txl.prefill(params, cfg, toks, pad, flash=True)
+
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               atol=0.15, rtol=0.05)
+    assert (np.argmax(np.asarray(got_logits), -1)
+            == np.argmax(np.asarray(ref_logits), -1)).all()
+    # layer>=1 K/V inherit bf16 score-path drift from the layer below;
+    # compare at bf16 resolution like the decode-kernel cache checks
+    np.testing.assert_allclose(
+        np.asarray(got_cache.k.astype(jnp.float32)),
+        np.asarray(ref_cache.k.astype(jnp.float32)), atol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(got_cache.v.astype(jnp.float32)),
+        np.asarray(ref_cache.v.astype(jnp.float32)), atol=0.05)
+    np.testing.assert_array_equal(np.asarray(got_cache.valid),
+                                  np.asarray(ref_cache.valid))

@@ -28,8 +28,11 @@ def test_rel_shift_matches_torch_line_shift():
     import torch
     from oracle_txl import line_shift
     x = np.random.default_rng(0).normal(size=(2, 3, 5, 9)).astype(np.float32)
-    ours = np.asarray(rel_shift(jnp.asarray(x)))
     theirs = line_shift(torch.from_numpy(x)).numpy()
+    # both exact_spill values are the torch-bit-exact pad/view form
+    exact = np.asarray(rel_shift(jnp.asarray(x), exact_spill=True))
+    np.testing.assert_allclose(exact, theirs, atol=1e-6)
+    ours = np.asarray(rel_shift(jnp.asarray(x)))
     np.testing.assert_allclose(ours, theirs, atol=1e-6)
 
 
