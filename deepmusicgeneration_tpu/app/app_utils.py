@@ -79,6 +79,8 @@ def createRemixModel(encode_position: bool = True,
                      ) -> MultitaskLearner:
     if _exists(ckpt_path):
         return MultitaskLearner.load(ckpt_path)
+    if _exists(_demo("synth_multitask_model")):
+        return MultitaskLearner.load(_demo("synth_multitask_model"))
     if _exists(_demo("demo_multitask_model")):
         return MultitaskLearner.load(_demo("demo_multitask_model"))
     return multitask_model_learner(cfg=multitask_config())
@@ -89,6 +91,8 @@ def createS2SModel(encode_position: bool = False,
                    ckpt_path: str = "./checkpoints/s2s_model") -> MultitaskLearner:
     if _exists(ckpt_path):
         return MultitaskLearner.load(ckpt_path)
+    if _exists(_demo("synth_multitask_model")):
+        return MultitaskLearner.load(_demo("synth_multitask_model"))
     if _exists(_demo("demo_multitask_model")):
         return MultitaskLearner.load(_demo("demo_multitask_model"))
     vocab = MusicVocab.create_s2s()

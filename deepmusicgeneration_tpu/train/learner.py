@@ -253,7 +253,14 @@ class MultitaskLearner:
     # -- inference ----------------------------------------------------------
     def predict_mask(self, masked_item: MusicItem, temperatures=(1.0, 1.0),
                      top_k: int = 20, top_p: float = 0.8, seed: int = 0,
-                     greedy: bool = False, parallel: bool = False) -> MusicItem:
+                     greedy: bool = False, parallel: bool = True) -> MusicItem:
+        """``parallel=True`` (default) fills every mask from ONE bidirectional
+        pass; ``False`` is the reference's sequential left-to-right loop where
+        later masks see earlier fills (deep_music_remix.py:2563-2613).
+        Measured on the trained checkpoint over 888 held-out masks
+        (docs/EVAL_MASK.json): parallel 0.762 greedy fill accuracy vs
+        sequential 0.751 — the contract change costs nothing and removes the
+        O(n_masks x full-encoder) loop."""
         if self._mask_engine is None:
             from ..decode.multitask_engine import MaskEngine
             self._mask_engine = MaskEngine(self.params, self.cfg, self.vocab)

@@ -1,0 +1,60 @@
+"""Quality regression for the committed trained multitask checkpoint.
+
+Pins the generalization properties of the 85M enc-dec (remix/s2s) model
+trained on the synthetic corpus (examples/train_multitask.py):
+
+* parallel one-pass mask infill recovers a large fraction of held-out
+  originals' masked notes (measured 0.762 over 888 masks, docs/EVAL_MASK.json
+  — threshold left loose so only real regressions trip),
+* sequential mode performs comparably (the reference-contract path).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from deepmusicgeneration_tpu.codec.item import MusicItem
+from deepmusicgeneration_tpu.train.learner import MultitaskLearner
+from deepmusicgeneration_tpu.train.synthcorpus import generate_song
+
+CKPT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "checkpoints", "synth_multitask_model")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(CKPT, "manifest.json")),
+    reason="trained multitask checkpoint not present")
+
+
+@pytest.fixture(scope="module")
+def learner():
+    return MultitaskLearner.load(CKPT)
+
+
+def _mask_notes(item, proportion, rng):
+    v = item.vocab
+    data = item.data.copy()
+    note_pos = np.nonzero((data >= v.note_range[0]) & (data < v.note_range[1]))[0]
+    sel = rng.choice(note_pos, size=max(int(len(note_pos) * proportion), 1),
+                     replace=False)
+    data[sel] = v.mask_idx
+    return MusicItem(data, v, position=item.position), sel
+
+
+@pytest.mark.parametrize("parallel", [True, False])
+def test_mask_infill_recovers_heldout_notes(learner, parallel):
+    vocab = learner.vocab
+    rng = np.random.default_rng(0)
+    hits, total = 0, 0
+    # fresh held-out songs (generator seeds disjoint from train/valid)
+    for i, genre in enumerate(["pop", "jazz"]):
+        song = MusicItem.from_npenc(generate_song(genre, 7_000_000 + i), vocab,
+                                    genre=genre)
+        item = MusicItem(song.data[:384], vocab)
+        masked, sel = _mask_notes(item, 0.3, rng)
+        filled = learner.predict_mask(masked, greedy=True, parallel=parallel,
+                                      seed=i)
+        hits += int((filled.data[sel] == item.data[sel]).sum())
+        total += len(sel)
+    acc = hits / total
+    assert acc > 0.5, f"mask fill acc {acc:.3f} (chance is ~1/128)"
