@@ -717,8 +717,12 @@ def _make_multirow_q_kernel(cfg, M: int, R: int):
         rowhead = jax.lax.broadcasted_iota(jnp.int32, (RH, HD), 0) % H
         colhead = jax.lax.broadcasted_iota(jnp.int32, (RH, HD), 1) // Dh
         hm = rowhead == colhead
-        qu2 = jnp.where(hm, _expand_rows(qu, H, HD), 0)
-        qv2 = jnp.where(hm, _expand_rows(qv, H, HD), 0)
+        # multiply by the 0/1 mask rather than select: a bool (RH, HD) vector
+        # with RH < 16 sublanes trips a Mosaic relayout bug in R=1 cells
+        # ("Invalid relayout ... vector<12x768xi1>"); the product is identical
+        hm_w = hm.astype(qkv_w.dtype)
+        qu2 = _expand_rows(qu, H, HD) * hm_w
+        qv2 = _expand_rows(qv, H, HD) * hm_w
 
         sd = jnp.dot(qv2, wkr_f[0], preferred_element_type=jnp.float32)
         k1rep = _expand_rows(k1, H, HD)
@@ -997,8 +1001,12 @@ def _make_slab_kernel(cfg, M: int, R: int, score_mode: str,
         rowhead = jax.lax.broadcasted_iota(jnp.int32, (RH, HD), 0) % H
         colhead = jax.lax.broadcasted_iota(jnp.int32, (RH, HD), 1) // Dh
         hm = rowhead == colhead
-        qu2 = jnp.where(hm, _expand_rows(qu, H, HD), 0)
-        qv2 = jnp.where(hm, _expand_rows(qv, H, HD), 0)
+        # multiply by the 0/1 mask rather than select: a bool (RH, HD) vector
+        # with RH < 16 sublanes trips a Mosaic relayout bug in R=1 cells
+        # ("Invalid relayout ... vector<12x768xi1>"); the product is identical
+        hm_w = hm.astype(wdt)
+        qu2 = _expand_rows(qu, H, HD) * hm_w
+        qv2 = _expand_rows(qv, H, HD) * hm_w
 
         # relative term for the whole cell: (M+1, HD) × (RH, HD) → (M+1, RH)
         sd = dot_t(wkr_mt[0], qv2)
