@@ -52,11 +52,11 @@ def run_decode_bench(n_words: int, warmup_words: int = 32, batch: int = 1):
                                     genre="electronic").trim_to_beat(32).remove_eos()
     seed = seed_item.data
 
-    # primary metric = the fastest single-stream path (single-stream decode
-    # is weight-bandwidth-bound → slab_w8's int8 weights roughly halve the
-    # per-step HBM bytes); fall back to the default path off-TPU
+    # primary metric: auto (slab_w8 at B=1 — single-stream decode is
+    # weight-bandwidth-bound and int8 weights nearly halve the per-step HBM
+    # bytes) with the xla ring step as a measured fallback
     kernels = ([None] if jax.default_backend() != "tpu"
-               else ["slab_w8", None])
+               else [None, "xla"])
     best = (0.0, float("inf"))
     for kernel in kernels:
         gen = lambda nw, s: engine.generate(

@@ -273,9 +273,14 @@ def generate_compiled(
 
             kv0 = (kt, vc)
 
-        def step(carry, i):
-            kv, g, ptr, g_cur, st, logits, rng = carry
-            rng, sub = jax.random.split(rng)
+        # one vectorized split for ALL steps: a per-step jax.random.split on
+        # a scalar key lowers to an unvectorized threefry chain measured at
+        # ~110 us/step on v5e — 43% of a B=1 decode step
+        step_keys = jax.random.split(rng, settings.n_words)
+
+        def step(carry, inp):
+            i, sub = inp
+            kv, g, ptr, g_cur, st, logits = carry
             step_frac = i.astype(jnp.float32) / settings.n_words
             idx, st = sample_next_token(logits, st, tables, temperatures,
                                         top_p, min_bars, allowed_ins, sub,
@@ -288,11 +293,11 @@ def generate_compiled(
                 logits = logits + head_b
             g = jax.lax.dynamic_update_slice(
                 g, jnp.broadcast_to(g_cur, (B, 1)).astype(jnp.int32), (0, ptr))
-            return (kv, g, (ptr + 1) % M, g_cur + 1, st, logits, rng), idx
+            return (kv, g, (ptr + 1) % M, g_cur + 1, st, logits), idx
 
-        carry0 = (kv0, ring.g, ring.ptr, ring.g_cur, st0, logits, rng)
-        (*_, st, _, _), toks = jax.lax.scan(step, carry0,
-                                            jnp.arange(settings.n_words))
+        carry0 = (kv0, ring.g, ring.ptr, ring.g_cur, st0, logits)
+        (*_, st, _), toks = jax.lax.scan(
+            step, carry0, (jnp.arange(settings.n_words), step_keys))
         return toks.T, st.n_emitted
 
     cache = txl.ring_from_prefill(cache0, cfg)
@@ -301,17 +306,19 @@ def generate_compiled(
     wkr_all = txl.precompute_wkr(params, cfg, mem_len)
     step_fn = txl.decode_step_ring_q if settings.kv_int8 else txl.decode_step_ring
 
-    def step(carry, i):
-        cache, st, logits, rng = carry
-        rng, sub = jax.random.split(rng)
+    step_keys = jax.random.split(rng, settings.n_words)  # see fused path note
+
+    def step(carry, inp):
+        i, sub = inp
+        cache, st, logits = carry
         step_frac = i.astype(jnp.float32) / settings.n_words
         idx, st = sample_next_token(logits, st, tables, temperatures, top_p,
                                     min_bars, allowed_ins, sub, settings, step_frac)
         logits, cache = step_fn(params, cfg, idx, st.last_pos, cache, wkr_all)
-        return (cache, st, logits, rng), idx
+        return (cache, st, logits), idx
 
-    (_, st, _, _), toks = jax.lax.scan(
-        step, (cache, st0, logits, rng), jnp.arange(settings.n_words))
+    (_, st, _), toks = jax.lax.scan(
+        step, (cache, st0, logits), (jnp.arange(settings.n_words), step_keys))
     return toks.T, st.n_emitted  # (B, n_words), (B,)
 
 
@@ -467,11 +474,20 @@ class GenerationEngine:
             temperatures = (temperatures[0], temperatures[1], temperatures[1])
         fused_ok = self._fused_ok(B, kv_int8)
         if decode_kernel is None:
-            # auto: the slab kernel (slot-major int8 KV, bf16 scores) is the
-            # fastest hardware-validated path for 8-row cells — 19.0k tok/s
-            # at B=64 on the 41M flagship vs 13.4k multirow / 10.9k xla
-            fused_auto = fused_ok and B % 8 == 0
-            decode_kernel = "slab" if fused_auto else "xla"
+            # auto (hardware-measured on v5e, 41M flagship):
+            # - 8-row cells (B%8==0): slab — slot-major int8 KV, bf16 scores,
+            #   49k tok/s at B=64 vs 10.9k xla
+            # - small batches (B<8): slab_w8 — decode is weight-DMA-bound
+            #   there, int8 weights nearly halve the per-step HBM bytes;
+            #   6.1k tok/s at B=1 vs 3.9k xla
+            # - odd B>8 would fall to 1-row cells (per-cell overhead wins):
+            #   keep the xla ring step
+            if fused_ok and B % 8 == 0:
+                decode_kernel = "slab"
+            elif fused_ok and B < 8:
+                decode_kernel = "slab_w8"
+            else:
+                decode_kernel = "xla"
         if decode_kernel != "xla" and not fused_ok:
             raise ValueError(f"decode_kernel={decode_kernel!r} needs the TPU "
                              "fused path (bf16 bias-free config, unsharded)")

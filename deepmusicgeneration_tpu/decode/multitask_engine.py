@@ -63,8 +63,13 @@ def _predict_mask_compiled(
 ):
     B, W = x.shape
 
-    def body(carry, j):
-        x, repeat_count, rng = carry
+    step_keys = jax.random.split(rng, n_mask_slots)  # one vectorized split:
+    # a per-step scalar split lowers to an unvectorized threefry chain
+    # measured at ~110 us/step on v5e
+
+    def body(carry, inp):
+        j, sub = inp
+        x, repeat_count = carry
         midx = mask_positions[:, j]                    # (B,)
         active = midx >= 0
         safe_midx = jnp.maximum(midx, 0)
@@ -85,7 +90,6 @@ def _predict_mask_compiled(
         cls = tables.prev_class[prev]
         ok = tables.allowed[cls, jnp.zeros_like(cls)]  # last_xxsep=False here
         logits = jnp.where(ok, logits, FILTER_VALUE)
-        rng, sub = jax.random.split(rng)
         idx, nc = filter_sample_sorted(sub, logits, top_k, top_p, greedy=greedy)
         idx = idx.astype(x.dtype)
         repeat_count = jnp.where(active,
@@ -95,10 +99,11 @@ def _predict_mask_compiled(
         cur = jnp.take_along_axis(x, safe_midx[:, None], axis=1)[:, 0]
         new_val = jnp.where(active, idx, cur)
         x = x.at[jnp.arange(B), safe_midx].set(new_val)
-        return (x, repeat_count, rng), None
+        return (x, repeat_count), None
 
-    (x, _, _), _ = jax.lax.scan(
-        body, (x, jnp.zeros((B,), jnp.int32), rng), jnp.arange(n_mask_slots))
+    (x, _), _ = jax.lax.scan(
+        body, (x, jnp.zeros((B,), jnp.int32)),
+        (jnp.arange(n_mask_slots), step_keys))
     return x
 
 
@@ -241,19 +246,21 @@ def _predict_s2s_compiled(
         n_emitted=jnp.zeros((B,), jnp.int32),
     )
 
-    def step(carry, i):
-        cache, st, logits, rng = carry
-        rng, sub = jax.random.split(rng)
+    step_keys = jax.random.split(rng, settings.n_words)  # one vectorized split
+
+    def step(carry, inp):
+        i, sub = inp
+        cache, st, logits = carry
         idx, st = sample_next_token(
             logits, st, tables, temperatures, top_p,
             jnp.asarray(0, jnp.int32), allowed_ins_overlay, sub, settings,
             i.astype(jnp.float32) / settings.n_words, max_pos=max_pos)
         logits, cache = mt.decoder_step(params, cfg, idx, st.last_pos, cache,
                                         enc_out, enc_pad=inp_pad)
-        return (cache, st, logits, rng), idx
+        return (cache, st, logits), idx
 
-    (_, st, _, _), toks = jax.lax.scan(
-        step, (cache, st0, logits, rng), jnp.arange(settings.n_words))
+    (_, st, _), toks = jax.lax.scan(
+        step, (cache, st0, logits), (jnp.arange(settings.n_words), step_keys))
     return toks.T, st.n_emitted
 
 
@@ -352,17 +359,19 @@ def _predict_nw_compiled(
     )
     overlay = jnp.ones((logits.shape[-1],), bool)
 
-    def step(carry, i):
-        cache, st, logits, rng = carry
-        rng, sub = jax.random.split(rng)
+    step_keys = jax.random.split(rng, settings.n_words)  # one vectorized split
+
+    def step(carry, inp):
+        i, sub = inp
+        cache, st, logits = carry
         idx, st = sample_next_token(logits, st, tables, temperatures, top_p,
                                     min_bars, overlay, sub, settings,
                                     i.astype(jnp.float32) / settings.n_words)
         logits, cache = mt.lm_step(params, cfg, idx, st.last_pos, cache)
-        return (cache, st, logits, rng), idx
+        return (cache, st, logits), idx
 
-    (_, st, _, _), toks = jax.lax.scan(
-        step, (cache, st0, logits, rng), jnp.arange(settings.n_words))
+    (_, st, _), toks = jax.lax.scan(
+        step, (cache, st0, logits), (jnp.arange(settings.n_words), step_keys))
     return toks.T, st.n_emitted
 
 

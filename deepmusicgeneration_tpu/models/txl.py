@@ -284,8 +284,11 @@ def prefill(
     h = emb
     r = backwards_pos_enc(W, cfg.d_model, dtype=dt)
     if flash is None:
+        # B >= 8: the kernel's per-batch-row grid cells carry a fixed cost
+        # that only amortizes with enough rows; single-stream prefill is
+        # faster on the XLA path (measured on v5e)
         flash = (jax.default_backend() == "tpu" and dt == jnp.bfloat16
-                 and W <= 1024)
+                 and W <= 1024 and B >= 8)
     if not flash:
         mask = causal_window_mask(W, 0, 1, 1)
         mask = mask | pad_mask[:, None, None, :]
