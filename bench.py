@@ -155,11 +155,12 @@ PEAK_BF16_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5p": 459.0, "TPU v6 lite": 918.0
 
 
 def decode_step_traffic(cfg, B: int, M: int, kv_bits: int,
-                        write_mode: str = "pingpong") -> dict:
+                        write_mode: str = "pingpong", w_bits: int = 16) -> dict:
     """Analytic per-step HBM bytes and matmul FLOPs of the fused batched
-    decode. Weights are read once per token; the KV cache is fully read, and
-    written back either in full ('pingpong', the multirow kernels) or as
-    32-slot slabs around the ring pointer ('slab')."""
+    decode. Weights are read once per token (``w_bits`` 8 for the int8-weight
+    slab_w8 kernel); the KV cache is fully read, and written back either in
+    full ('pingpong', the multirow kernels) or as 32-slot slabs around the
+    ring pointer ('slab')."""
     L, D, Dff = cfg.n_layers, cfg.d_model, cfg.d_inner
     HD = cfg.n_heads * cfg.d_head
     w_elems = L * (D * 3 * HD + HD * D + D * Dff + Dff * D)
@@ -168,7 +169,7 @@ def decode_step_traffic(cfg, B: int, M: int, kv_bits: int,
     kv_read = kv_elems * (kv_bits // 8)
     kv_write = (kv_read if write_mode == "pingpong"
                 else L * B * HD * 32 * 2 * (kv_bits // 8))
-    bytes_step = (w_elems + wkr_elems) * 2 + kv_read + kv_write
+    bytes_step = w_elems * (w_bits // 8) + wkr_elems * 2 + kv_read + kv_write
     if kv_bits == 8:
         scale_read = L * B * M * 4 * 2
         scale_write = scale_read if write_mode == "pingpong" else L * B * 32 * 4 * 2
@@ -178,10 +179,10 @@ def decode_step_traffic(cfg, B: int, M: int, kv_bits: int,
 
 
 def roofline(cfg, B: int, M: int, kv_bits: int, tok_per_sec: float,
-             write_mode: str = "pingpong") -> dict:
+             write_mode: str = "pingpong", w_bits: int = 16) -> dict:
     import jax
     kind = jax.devices()[0].device_kind
-    t = decode_step_traffic(cfg, B, M, kv_bits, write_mode)
+    t = decode_step_traffic(cfg, B, M, kv_bits, write_mode, w_bits)
     steps_per_sec = tok_per_sec / B
     gbps = t["bytes"] * steps_per_sec / 1e9
     tflops = t["flops"] * steps_per_sec / 1e12
@@ -226,7 +227,8 @@ def run_batched_bench(batch: int = 64, n_words: int = 256):
         tps = batch * n_words / dt
         kv_bits = 16 if kernel == "multirow" else 8
         mode = "slab" if kernel.startswith("slab") else "pingpong"
-        rf = roofline(cfg, batch, cfg.mem_len, kv_bits, tps, mode)
+        w_bits = 8 if kernel == "slab_w8" else 16
+        rf = roofline(cfg, batch, cfg.mem_len, kv_bits, tps, mode, w_bits)
         results[kernel] = (tps, rf)
         log(f"batched decode [{kernel}]: B={batch} × {n_words} tokens in "
             f"{dt:.3f}s → {tps:.0f} tok/s  {rf}")
@@ -239,6 +241,13 @@ def main():
     platform = jax.devices()[0].platform
     log(f"backend: {platform} ({jax.devices()})")
     tps, dt = run_decode_bench(N_WORDS)
+    if tps <= 0.0 or not (dt < float("inf")):
+        log("FATAL: every decode kernel failed; see errors above")
+        print(json.dumps({"metric": "decode_tokens_per_sec_per_chip",
+                          "value": 0.0, "unit": "tokens/sec",
+                          "vs_baseline": 0.0,
+                          "detail": {"error": "all decode kernels failed"}}))
+        sys.exit(1)
     batch_res, files_per_sec = (run_batched_bench() if platform != "cpu"
                                 else ({}, 0))
     if platform != "cpu":

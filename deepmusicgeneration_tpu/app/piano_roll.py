@@ -77,7 +77,6 @@ def chordarr_to_rgb(chordarr: np.ndarray, ins_classes=None,
 def item_to_piano_roll_png(item, max_width: int = 1024) -> bytes:
     """Piano-roll PNG for a MusicItem (or MultitrackItem)."""
     from ..codec.decode import npenc2chordarr
-    from ..vocab import ACCEP_INS
 
     if hasattr(item, "first_instrument"):  # MultitrackItem
         chordarr = item.to_chordarr()
@@ -85,14 +84,12 @@ def item_to_piano_roll_png(item, max_width: int = 1024) -> bytes:
     else:
         npenc = item.to_npenc()
         chordarr = npenc2chordarr(np.asarray(npenc))
-        ins = None
-        if isinstance(getattr(item, "ins", None), dict):
-            try:
-                ins = [ACCEP_INS.get(v, 6) for v in item.ins.values()]
-            except Exception:
-                ins = None
-        # npenc lanes are instrument-class indexed when decoded from idxenc
-        ins = ins if ins is not None else list(range(chordarr.shape[1]))
+        # npenc's ins column holds instrument-CLASS ids, so the decoded
+        # chordarr's lanes are class-indexed: lane i == ACCEP_INS class i.
+        # (item.ins is keyed by the original MIDI part order — using it here
+        # colored lanes by the wrong instrument for any part order that
+        # wasn't already ascending class ids.)
+        ins = list(range(chordarr.shape[1]))
     return encode_png(chordarr_to_rgb(chordarr, ins, max_width=max_width))
 
 

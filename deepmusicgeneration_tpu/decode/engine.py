@@ -54,6 +54,8 @@ class SamplerSettings:
     slab: bool = False         # slot-major int8 cache + 32-slot slab writes
     score_mode: str = "bf16"   # slab kernel score path: 'bf16' | 'int8'
     weights_int8: bool = False # int8 weights, upcast once/layer in VMEM
+    flash_prefill: Optional[bool] = None  # None=auto; forced False under a
+                               # mesh (the pallas prefill has no SPMD rule)
 
 
 class DecodeTables(NamedTuple):
@@ -199,7 +201,8 @@ def generate_compiled(
     """Prefill + fused sampling scan. Returns (tokens (B, n_words), lengths (B,))."""
     B = window_toks.shape[0]
     logits, cache0 = txl.prefill(params, cfg, window_toks, window_pad,
-                                 pos=window_pos, mem_len=mem_len)
+                                 pos=window_pos, mem_len=mem_len,
+                                 flash=settings.flash_prefill)
     prev0 = window_toks[:, -1]
     st0 = SampleState(
         prev_tok=prev0.astype(jnp.int32),
@@ -369,15 +372,17 @@ class GenerationEngine:
         self._stacked = None
         self._stacked_q = None
 
-    def _fused_ok(self, B: int, kv_int8: bool) -> bool:
+    def _fused_ok(self, mem_len: int) -> bool:
         """The fused Pallas decode kernels apply when: TPU backend, bf16
         bias-free config without beat-position embeddings (the genre flagship
-        shape), unsharded. The cell row count adapts to any batch size."""
+        shape), unsharded, 32-aligned memory (the slab family writes 32-slot
+        bands). The cell row count adapts to any batch size."""
         return (jax.default_backend() == "tpu"
                 and self.mesh is None
                 and self.cfg.dtype == "bfloat16"
                 and not self.cfg.bias
-                and not self.cfg.encode_position)
+                and not self.cfg.encode_position
+                and mem_len % 32 == 0)
 
     def stacked(self):
         if self._stacked is None:
@@ -472,7 +477,7 @@ class GenerationEngine:
 
         if len(temperatures) == 2:
             temperatures = (temperatures[0], temperatures[1], temperatures[1])
-        fused_ok = self._fused_ok(B, kv_int8)
+        fused_ok = self._fused_ok(mem_len)
         if decode_kernel is None:
             # auto (hardware-measured on v5e, 41M flagship):
             # - 8-row cells (B%8==0): slab — slot-major int8 KV, bf16 scores,
@@ -490,7 +495,8 @@ class GenerationEngine:
                 decode_kernel = "xla"
         if decode_kernel != "xla" and not fused_ok:
             raise ValueError(f"decode_kernel={decode_kernel!r} needs the TPU "
-                             "fused path (bf16 bias-free config, unsharded)")
+                             "fused path (bf16 bias-free config, unsharded, "
+                             f"mem_len % 32 == 0; got mem_len={mem_len})")
         if rows_per_cell is not None:
             if B % rows_per_cell:
                 raise ValueError(f"rows_per_cell={rows_per_cell} must divide "
@@ -505,7 +511,10 @@ class GenerationEngine:
             rows_per_cell=rpc,
             slab=decode_kernel in ("slab", "slab_int8", "slab_w8"),
             score_mode="int8" if decode_kernel == "slab_int8" else "bf16",
-            weights_int8=decode_kernel == "slab_w8")
+            weights_int8=decode_kernel == "slab_w8",
+            # the pallas prefill kernel has no SPMD partitioning rule: keep
+            # dp-sharded serving on the XLA prefill path
+            flash_prefill=False if self.mesh is not None else None)
         tables = self.tables(temp_mode)
         from ..codec.grammar import allowed_ins_mask
         ins_mask = jnp.asarray(allowed_ins_mask(self.vocab, allowed_ins))

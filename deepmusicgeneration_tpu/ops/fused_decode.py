@@ -492,8 +492,11 @@ def _make_multirow_kernel(cfg, M: int, R: int):
         rowhead = jax.lax.broadcasted_iota(jnp.int32, (RH, HD), 0) % H
         colhead = jax.lax.broadcasted_iota(jnp.int32, (RH, HD), 1) // Dh
         hm = rowhead == colhead
-        qu2 = jnp.where(hm, _expand_rows(qu, H, HD), 0)      # (RH, HD)
-        qv2 = jnp.where(hm, _expand_rows(qv, H, HD), 0)
+        # 0/1 multiply, not select: a bool (RH, HD) vector with RH < 16
+        # sublanes trips a Mosaic relayout bug in R=1 cells (see slab kernel)
+        hm_w = hm.astype(qkv_w.dtype)
+        qu2 = _expand_rows(qu, H, HD) * hm_w                 # (RH, HD)
+        qv2 = _expand_rows(qv, H, HD) * hm_w
 
         # relative-position scores for all R·H rows at once: the W_kr panel is
         # layer-shared, so one (RH, HD) @ (HD, M+1) matmul covers the cell
@@ -520,15 +523,15 @@ def _make_multirow_kernel(cfg, M: int, R: int):
         e_self = jnp.exp(self_score - m)                     # (RH, 1)
         denom = jnp.sum(e, axis=-1, keepdims=True) + e_self  # (RH, 1)
 
-        hm_h = hm[0:H, :]                                    # (H, HD)
+        hm_hf = hm[0:H, :].astype(jnp.float32)               # (H, HD)
         for r in range(R):
             lo, hi = r * H, (r + 1) * H
             pv = jnp.dot(e[lo:hi, :].astype(vc.dtype), vc[0, r],
                          preferred_element_type=jnp.float32)  # (H, HD) all-head
-            num = jnp.sum(jnp.where(hm_h, pv, 0), axis=0, keepdims=True)  # (1, HD)
-            w_self = jnp.sum(jnp.where(hm_h, e_self[lo:hi, :], 0), axis=0,
+            num = jnp.sum(pv * hm_hf, axis=0, keepdims=True)         # (1, HD)
+            w_self = jnp.sum(e_self[lo:hi, :] * hm_hf, axis=0,
                              keepdims=True)                  # (1, HD) per-lane e_self
-            d_lane = jnp.sum(jnp.where(hm_h, denom[lo:hi, :], 0), axis=0,
+            d_lane = jnp.sum(denom[lo:hi, :] * hm_hf, axis=0,
                              keepdims=True)                  # (1, HD) per-lane denom
             attn_scr[pl.ds(r, 1), :] = (num + w_self * v1[r:r + 1, :]) / d_lane
 
@@ -747,7 +750,7 @@ def _make_multirow_q_kernel(cfg, M: int, R: int):
         e_self = jnp.exp(self_score - m)
         denom = jnp.sum(e, axis=-1, keepdims=True) + e_self
 
-        hm_h = hm[0:H, :]
+        hm_hf = hm[0:H, :].astype(jnp.float32)
         for r in range(R):
             lo, hi = r * H, (r + 1) * H
             # fold the V per-slot scales into the probabilities, then one
@@ -755,10 +758,10 @@ def _make_multirow_q_kernel(cfg, M: int, R: int):
             e_r = (e[lo:hi, :] * vs[0, r]).astype(qkv_w.dtype)
             vc_bf = vc[0, r].astype(qkv_w.dtype)                    # (M, HD)
             pv = jnp.dot(e_r, vc_bf, preferred_element_type=jnp.float32)
-            num = jnp.sum(jnp.where(hm_h, pv, 0), axis=0, keepdims=True)
-            w_self = jnp.sum(jnp.where(hm_h, e_self[lo:hi, :], 0), axis=0,
+            num = jnp.sum(pv * hm_hf, axis=0, keepdims=True)
+            w_self = jnp.sum(e_self[lo:hi, :] * hm_hf, axis=0,
                              keepdims=True)
-            d_lane = jnp.sum(jnp.where(hm_h, denom[lo:hi, :], 0), axis=0,
+            d_lane = jnp.sum(denom[lo:hi, :] * hm_hf, axis=0,
                              keepdims=True)
             attn_scr[pl.ds(r, 1), :] = (num + w_self * v1[r:r + 1, :]) / d_lane
 
