@@ -75,6 +75,32 @@ def _ln(x32, g, b, eps=1e-5):
     return (x32 - mu) * jax.lax.rsqrt(var + eps) * g + b
 
 
+def _expand_rows(x, reps, cols):
+    # (R, cols) -> (R*reps, cols): each row repeated `reps` times
+    R = x.shape[0]
+    return jnp.broadcast_to(x[:, None, :], (R, reps, cols)).reshape(R * reps, cols)
+
+
+def _block_tail(h32, attn, dt, act,
+                out_w, ff1_w, ff1_b, ff2_w, ff2_b,
+                ln1_g, ln1_b, ln2_g, ln2_b):
+    """Shared post-attention block tail: out-proj, post-norm, FFN, post-norm.
+    GELU is the tanh approximation (Mosaic lacks erf); max deviation from the
+    exact erf form is ~1e-3*|x|, covered by the parity-test tolerances."""
+    out = jnp.dot(attn.astype(dt), out_w, preferred_element_type=jnp.float32)
+    h1 = _ln(h32 + out, ln1_g, ln1_b)
+    ffx = jnp.dot(h1.astype(dt), ff1_w, preferred_element_type=jnp.float32)
+    ffx = ffx + ff1_b.astype(jnp.float32)
+    if act == "gelu":
+        c = math.sqrt(2.0 / math.pi)
+        ffx = 0.5 * ffx * (1.0 + jnp.tanh(c * (ffx + 0.044715 * ffx ** 3)))
+    else:
+        ffx = jnp.maximum(ffx, 0.0)
+    ffy = jnp.dot(ffx.astype(dt), ff2_w, preferred_element_type=jnp.float32)
+    ffy = ffy + ff2_b.astype(jnp.float32)
+    return _ln(h1 + ffy, ln2_g, ln2_b)
+
+
 def _make_kernel(cfg, M: int):
     H, Dh, D, Dff = cfg.n_heads, cfg.d_head, cfg.d_model, cfg.d_inner
     HD = H * Dh
@@ -143,22 +169,9 @@ def _make_kernel(cfg, M: int):
                          preferred_element_type=jnp.float32)            # (1, Dh)
             attn_scr[0:1, sl] = (pv + e_self[h, 0] * v1_all[:, sl]) / denom[h, 0]
 
-        attn_flat = attn_scr[0:1, :].astype(hb.dtype)
-        out = jnp.dot(attn_flat, out_w[0], preferred_element_type=jnp.float32)
-        h1 = _ln(h32[0:1] + out, ln1_g[0], ln1_b[0])
-
-        ffx = jnp.dot(h1.astype(hb.dtype), ff1_w[0], preferred_element_type=jnp.float32)
-        ffx = ffx + ff1_b[0].astype(jnp.float32)
-        if act == "gelu":
-            # tanh-approximate GELU (Mosaic lacks erf); max deviation from the
-            # exact erf form is ~1e-3·|x|, covered by the parity-test tolerance
-            c = math.sqrt(2.0 / math.pi)
-            ffx = 0.5 * ffx * (1.0 + jnp.tanh(c * (ffx + 0.044715 * ffx ** 3)))
-        else:
-            ffx = jnp.maximum(ffx, 0.0)
-        ffy = jnp.dot(ffx.astype(hb.dtype), ff2_w[0], preferred_element_type=jnp.float32)
-        ffy = ffy + ff2_b[0].astype(jnp.float32)
-        h2 = _ln(h1 + ffy, ln2_g[0], ln2_b[0])
+        h2 = _block_tail(h32[0:1], attn_scr[0:1, :], hb.dtype, act,
+                         out_w[0], ff1_w[0], ff1_b[0], ff2_w[0], ff2_b[0],
+                         ln1_g[0], ln1_b[0], ln2_g[0], ln2_b[0])
         h_scr[0:1, :] = h2
 
         @pl.when(li == nl - 1)
@@ -316,19 +329,9 @@ def _make_batched_kernel(cfg, M: int):
                          preferred_element_type=jnp.float32)
             attn_scr[0:1, sl] = (pv + e_self[h, 0] * v1_all[:, sl]) / denom[h, 0]
 
-        attn_flat = attn_scr[0:1, :].astype(hb.dtype)
-        out = jnp.dot(attn_flat, out_w[0], preferred_element_type=jnp.float32)
-        h1 = _ln(h32 + out, ln1_g[0], ln1_b[0])
-        ffx = jnp.dot(h1.astype(hb.dtype), ff1_w[0], preferred_element_type=jnp.float32)
-        ffx = ffx + ff1_b[0].astype(jnp.float32)
-        if act == "gelu":
-            c = math.sqrt(2.0 / math.pi)
-            ffx = 0.5 * ffx * (1.0 + jnp.tanh(c * (ffx + 0.044715 * ffx ** 3)))
-        else:
-            ffx = jnp.maximum(ffx, 0.0)
-        ffy = jnp.dot(ffx.astype(hb.dtype), ff2_w[0], preferred_element_type=jnp.float32)
-        ffy = ffy + ff2_b[0].astype(jnp.float32)
-        h2 = _ln(h1 + ffy, ln2_g[0], ln2_b[0])
+        h2 = _block_tail(h32, attn_scr[0:1, :], hb.dtype, act,
+                         out_w[0], ff1_w[0], ff1_b[0], ff2_w[0], ff2_b[0],
+                         ln1_g[0], ln1_b[0], ln2_g[0], ln2_b[0])
         h_scr[pl.ds(bi, 1), :] = h2
 
         @pl.when(li == nl - 1)
@@ -446,10 +449,6 @@ def _make_multirow_kernel(cfg, M: int, R: int):
     scale = 1.0 / math.sqrt(Dh) if cfg.scale else 1.0
     act = cfg.act
 
-    def _expand_rows(x, reps, cols):
-        # (R, cols) -> (R*reps, cols): each row repeated `reps` times
-        return jnp.broadcast_to(x[:, None, :], (R, reps, cols)).reshape(R * reps, cols)
-
     def kernel(ptr_ref,
                qkv_w, out_w, ff1_w, ff1_b, ff2_w, ff2_b,
                ln1_g, ln1_b, ln2_g, ln2_b,
@@ -535,19 +534,9 @@ def _make_multirow_kernel(cfg, M: int, R: int):
                              keepdims=True)                  # (1, HD) per-lane denom
             attn_scr[pl.ds(r, 1), :] = (num + w_self * v1[r:r + 1, :]) / d_lane
 
-        attn_all = attn_scr[0:R, :].astype(hb.dtype)
-        out = jnp.dot(attn_all, out_w[0], preferred_element_type=jnp.float32)
-        h1 = _ln(h32 + out, ln1_g[0], ln1_b[0])
-        ffx = jnp.dot(h1.astype(hb.dtype), ff1_w[0], preferred_element_type=jnp.float32)
-        ffx = ffx + ff1_b[0].astype(jnp.float32)
-        if act == "gelu":
-            c = math.sqrt(2.0 / math.pi)
-            ffx = 0.5 * ffx * (1.0 + jnp.tanh(c * (ffx + 0.044715 * ffx ** 3)))
-        else:
-            ffx = jnp.maximum(ffx, 0.0)
-        ffy = jnp.dot(ffx.astype(hb.dtype), ff2_w[0], preferred_element_type=jnp.float32)
-        ffy = ffy + ff2_b[0].astype(jnp.float32)
-        h2 = _ln(h1 + ffy, ln2_g[0], ln2_b[0])
+        h2 = _block_tail(h32, attn_scr[0:R, :], hb.dtype, act,
+                         out_w[0], ff1_w[0], ff1_b[0], ff2_w[0], ff2_b[0],
+                         ln1_g[0], ln1_b[0], ln2_g[0], ln2_b[0])
         h_scr[pl.ds(bi * R, R), :] = h2
         h_out[:, :] = h2
 
@@ -672,9 +661,6 @@ def _make_multirow_q_kernel(cfg, M: int, R: int):
     scale = 1.0 / math.sqrt(Dh) if cfg.scale else 1.0
     act = cfg.act
 
-    def _expand_rows(x, reps, cols):
-        return jnp.broadcast_to(x[:, None, :], (R, reps, cols)).reshape(R * reps, cols)
-
     def kernel(ptr_ref,
                qkv_w, out_w, ff1_w, ff1_b, ff2_w, ff2_b,
                ln1_g, ln1_b, ln2_g, ln2_b,
@@ -765,19 +751,9 @@ def _make_multirow_q_kernel(cfg, M: int, R: int):
                              keepdims=True)
             attn_scr[pl.ds(r, 1), :] = (num + w_self * v1[r:r + 1, :]) / d_lane
 
-        attn_all = attn_scr[0:R, :].astype(hb.dtype)
-        out = jnp.dot(attn_all, out_w[0], preferred_element_type=jnp.float32)
-        h1 = _ln(h32 + out, ln1_g[0], ln1_b[0])
-        ffx = jnp.dot(h1.astype(hb.dtype), ff1_w[0], preferred_element_type=jnp.float32)
-        ffx = ffx + ff1_b[0].astype(jnp.float32)
-        if act == "gelu":
-            c = math.sqrt(2.0 / math.pi)
-            ffx = 0.5 * ffx * (1.0 + jnp.tanh(c * (ffx + 0.044715 * ffx ** 3)))
-        else:
-            ffx = jnp.maximum(ffx, 0.0)
-        ffy = jnp.dot(ffx.astype(hb.dtype), ff2_w[0], preferred_element_type=jnp.float32)
-        ffy = ffy + ff2_b[0].astype(jnp.float32)
-        h2 = _ln(h1 + ffy, ln2_g[0], ln2_b[0])
+        h2 = _block_tail(h32, attn_scr[0:R, :], hb.dtype, act,
+                         out_w[0], ff1_w[0], ff1_b[0], ff2_w[0], ff2_b[0],
+                         ln1_g[0], ln1_b[0], ln2_g[0], ln2_b[0])
         h_scr[pl.ds(bi * R, R), :] = h2
         h_out[:, :] = h2
 
@@ -916,9 +892,6 @@ def _make_slab_kernel(cfg, M: int, R: int, score_mode: str,
     scale = 1.0 / math.sqrt(Dh) if cfg.scale else 1.0
     act = cfg.act
     SLAB = 32  # int8 sublane tile height
-
-    def _expand_rows(x, reps, cols):
-        return jnp.broadcast_to(x[:, None, :], (R, reps, cols)).reshape(R * reps, cols)
 
     dot_t = lambda a, b: jax.lax.dot_general(  # contract last dims: (X,C),(Y,C)→(X,Y)
         a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -1067,19 +1040,9 @@ def _make_slab_kernel(cfg, M: int, R: int, score_mode: str,
                              preferred_element_type=jnp.float32)
             attn_scr[pl.ds(r, 1), :] = (num + w_self * v1[r:r + 1, :]) / d_lane
 
-        attn_all = attn_scr[0:R, :].astype(hb.dtype)
-        out = jnp.dot(attn_all, W_out(), preferred_element_type=jnp.float32)
-        h1 = _ln(h32 + out, ln1_g[0], ln1_b[0])
-        ffx = jnp.dot(h1.astype(hb.dtype), W_ff1(), preferred_element_type=jnp.float32)
-        ffx = ffx + ff1_b[0].astype(jnp.float32)
-        if act == "gelu":
-            c = math.sqrt(2.0 / math.pi)
-            ffx = 0.5 * ffx * (1.0 + jnp.tanh(c * (ffx + 0.044715 * ffx ** 3)))
-        else:
-            ffx = jnp.maximum(ffx, 0.0)
-        ffy = jnp.dot(ffx.astype(hb.dtype), W_ff2(), preferred_element_type=jnp.float32)
-        ffy = ffy + ff2_b[0].astype(jnp.float32)
-        h2 = _ln(h1 + ffy, ln2_g[0], ln2_b[0])
+        h2 = _block_tail(h32, attn_scr[0:R, :], hb.dtype, act,
+                         W_out(), W_ff1(), ff1_b[0], W_ff2(), ff2_b[0],
+                         ln1_g[0], ln1_b[0], ln2_g[0], ln2_b[0])
         h_scr[pl.ds(bi * R, R), :] = h2
         h_out[:, :] = h2
 
