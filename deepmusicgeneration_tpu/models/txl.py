@@ -272,8 +272,8 @@ def prefill(
 
     ``flash``: use the Pallas VMEM-resident attention kernel
     (ops/flash_prefill.py) instead of the XLA path that materializes
-    (B, H, W, W) scores in HBM (auto: on the TPU backend for bf16 configs up
-    to W=1024 — measured 214 ms → ~25 ms for B=64, W=512 on v5e).
+    (B, H, W, W) scores in HBM (auto: on the TPU backend for bf16 configs with
+    B >= 8 up to W=2048 — measured 214 ms → ~25 ms for B=64, W=512 on v5e).
     """
     B, W = x.shape
     dt = cfg.act_dtype
@@ -286,9 +286,10 @@ def prefill(
     if flash is None:
         # B >= 8: the kernel's per-batch-row grid cells carry a fixed cost
         # that only amortizes with enough rows; single-stream prefill is
-        # faster on the XLA path (measured on v5e)
+        # faster on the XLA path. W <= 2048 keeps the (W, W) f32 score tile
+        # in VMEM (16 MB at 2048; measured 181 ms vs 380 ms XLA at B=8).
         flash = (jax.default_backend() == "tpu" and dt == jnp.bfloat16
-                 and W <= 1024 and B >= 8)
+                 and W <= 2048 and B >= 8)
     if not flash:
         mask = causal_window_mask(W, 0, 1, 1)
         mask = mask | pad_mask[:, None, None, :]
