@@ -215,10 +215,19 @@ def midifile_to_score(mf: MidiFile, quantize: bool = True) -> Score:
 
 
 def load_score(path_or_bytes, quantize: bool = True) -> Score:
+    """Load a score from SMF or MusicXML (.musicxml/.xml/.mxl), sniffing the
+    content — the file2stream breadth the reference gets from music21
+    (core/encodings.py:170-177), without the music21 dependency."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
-        mf = parse_midi_bytes(bytes(path_or_bytes))
+        data = bytes(path_or_bytes)
     else:
-        mf = parse_midi_file(path_or_bytes)
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    if data[:4] != b"MThd":
+        from .musicxml import is_musicxml, musicxml_to_score
+        if is_musicxml(data):
+            return musicxml_to_score(data, quantize)
+    mf = parse_midi_bytes(data)
     return midifile_to_score(mf, quantize)
 
 
