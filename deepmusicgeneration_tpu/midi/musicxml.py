@@ -37,14 +37,15 @@ _STEP_SEMIS = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
 
 # part-name → ACCEP_INS class fallback, music21-heuristic order: used only
 # when the part has no midi-program
-_NAME_CLASSES = [
+_NAME_CLASSES = [  # values MUST be ACCEP_INS keys (vocab.py:64-72)
     ("Piano", ("piano", "keyboard", "klavier", "celesta", "organ", "harpsichord")),
     ("Bass", ("bass",)),
     ("Guitar", ("guitar", "gitarre", "banjo", "ukulele", "lute")),
-    ("Woodwind", ("flute", "clarinet", "oboe", "bassoon", "sax", "recorder",
-                  "piccolo", "wind")),
-    ("Brass", ("trumpet", "trombone", "horn", "tuba", "brass")),
-    ("String", ("violin", "viola", "cello", "string", "fiddle", "harp")),
+    ("WoodwindInstrument", ("flute", "clarinet", "oboe", "bassoon", "sax",
+                            "recorder", "piccolo", "wind")),
+    ("BrassInstrument", ("trumpet", "trombone", "horn", "tuba", "brass")),
+    ("StringInstrument", ("violin", "viola", "cello", "string", "fiddle",
+                          "harp")),
 ]
 
 
@@ -75,7 +76,9 @@ def _extract_rootfile(data: bytes) -> bytes:
             rf = container.find(".//rootfile")
             if rf is not None:
                 root = rf.get("full-path")
-        except KeyError:
+            if root is not None and root not in z.namelist():
+                root = None
+        except (KeyError, ET.ParseError):
             pass
         if root is None:
             cands = [n for n in z.namelist()
@@ -133,18 +136,23 @@ def musicxml_to_score(path_or_bytes, quantize: bool = True) -> Score:
         pid = part_el.get("id", "")
         program, channel, name = meta.get(pid, (None, 0, pid))
         divisions = 1                                      # per quarter note
-        cursor = 0                                         # in divisions
+        cursor = 0.0                                       # in QUARTER LENGTHS
+        # (ql, not divisions: a mid-part <divisions> change must not rescale
+        # already-accumulated time — each duration converts at its own scale)
         rows: List[Tuple[int, float, float]] = []          # pitch, start_ql, dur_ql
-        open_ties: Dict[int, int] = {}                     # pitch → row index
+        open_ties: Dict[Tuple[str, int], int] = {}         # (voice, pitch) → row
+        last_onset = 0.0                                   # last sounded onset
         for measure in part_el.iter("measure"):
+            measure_max = cursor
             for el in measure:
                 if el.tag == "attributes":
                     d = el.findtext("divisions")
                     if d:
                         divisions = max(int(d), 1)
                 elif el.tag in ("backup", "forward"):
-                    dur = int(el.findtext("duration", "0") or 0)
-                    cursor += dur if el.tag == "forward" else -dur
+                    dur_ql = int(el.findtext("duration", "0") or 0) / divisions
+                    cursor += dur_ql if el.tag == "forward" else -dur_ql
+                    measure_max = max(measure_max, cursor)
                 elif el.tag == "sound" or el.tag == "direction":
                     snd = el if el.tag == "sound" else el.find(".//sound")
                     if snd is not None and snd.get("tempo") and not bpm_found:
@@ -153,28 +161,36 @@ def musicxml_to_score(path_or_bytes, quantize: bool = True) -> Score:
                 elif el.tag == "note":
                     if el.find("grace") is not None:
                         continue                           # no duration
-                    dur = int(el.findtext("duration", "0") or 0)
+                    dur_ql = int(el.findtext("duration", "0") or 0) / divisions
                     is_chord = el.find("chord") is not None
                     pitch = _midi_pitch(el)
                     if is_chord:
-                        # <chord/> shares the PREVIOUS note's onset
-                        start_ql = rows[-1][1] if rows else cursor / divisions
+                        # <chord/> shares its leading note's onset (tracked
+                        # explicitly: rows[-1] is stale after a tie merge)
+                        start_ql = last_onset
                     else:
-                        start_ql = cursor / divisions
-                        cursor += dur                      # rests advance too
-                    if pitch is None or dur <= 0:          # rest / unpitched
+                        start_ql = cursor
+                        cursor += dur_ql                   # rests advance too
+                        measure_max = max(measure_max, cursor)
+                    if pitch is None or dur_ql <= 0:       # rest / unpitched
                         continue
-                    dur_ql = dur / divisions
+                    if not is_chord:
+                        last_onset = start_ql
+                    voice = el.findtext("voice", "1")
                     ties = {t.get("type") for t in el.findall("tie")}
-                    if "stop" in ties and pitch in open_ties:
-                        i = open_ties[pitch]
+                    if "stop" in ties and (voice, pitch) in open_ties:
+                        i = open_ties[(voice, pitch)]
                         rows[i] = (rows[i][0], rows[i][1], rows[i][2] + dur_ql)
                         if "start" not in ties:
-                            del open_ties[pitch]
+                            del open_ties[(voice, pitch)]
                         continue
                     rows.append((pitch, start_ql, dur_ql))
                     if "start" in ties:
-                        open_ties[pitch] = len(rows) - 1
+                        open_ties[(voice, pitch)] = len(rows) - 1
+            # measure resync: a trailing shorter voice (backup with no
+            # forward) must not shift every later measure — resume from the
+            # furthest point any voice reached
+            cursor = max(cursor, measure_max)
 
         if rows:
             arr = np.array(
@@ -201,6 +217,9 @@ def is_musicxml(data: bytes) -> bool:
     """Sniff: zip container or an XML document with a MusicXML root."""
     if data[:2] == b"PK":
         return True
-    head = data[:512].lstrip()
+    head = data[:512]
+    if head.startswith(b"\xef\xbb\xbf"):
+        head = head[3:]
+    head = head.lstrip()
     return head.startswith(b"<?xml") or head.startswith(b"<score-partwise") \
         or head.startswith(b"<!DOCTYPE score-partwise")

@@ -152,7 +152,10 @@ def test_name_fallback_classing():
          "<attributes><divisions>1</divisions></attributes>"
          + _note("C", 3, 4) + "</measure></part>")
     score = musicxml_to_score(_doc(p, part_list))
-    assert score.parts[0].ins_class == "String"
+    assert score.parts[0].ins_class == "StringInstrument"
+    # and the class must be a real ACCEP_INS key so tokenization keeps it
+    from deepmusicgeneration_tpu.vocab import ACCEP_INS
+    assert score.parts[0].ins_class in ACCEP_INS
 
 
 def test_smf_equivalence():
@@ -166,3 +169,45 @@ def test_smf_equivalence():
     ], bpm=96.0)
     np.testing.assert_array_equal(score_to_npenc(xml_score)[0],
                                   score_to_npenc(manual)[0])
+
+
+def test_divisions_change_mid_part():
+    p = ("<part id=\"P1\"><measure number=\"1\">"
+         "<attributes><divisions>4</divisions></attributes>"
+         + _note("C", 4, 16) + "</measure>"
+         "<measure number=\"2\">"
+         "<attributes><divisions>8</divisions></attributes>"
+         + _note("D", 4, 8) + "</measure></part>")
+    score = musicxml_to_score(_doc(p, PIANO_PART))
+    notes = score.parts[0].notes
+    # measure 2 starts at 4 ql = 16 steps regardless of the divisions change
+    d = notes[notes[:, 0] == 62][0]
+    assert d[1] == 16 and d[2] == 4
+
+
+def test_measure_resync_after_short_second_voice():
+    m1 = ("<measure number=\"1\">"
+          "<attributes><divisions>4</divisions></attributes>"
+          + _note("C", 5, 16)
+          + "<backup><duration>16</duration></backup>"
+          + _note("C", 3, 8) + "</measure>")     # voice 2 ends mid-measure
+    m2 = "<measure number=\"2\">" + _note("D", 5, 4) + "</measure>"
+    score = musicxml_to_score(_doc(f'<part id="P1">{m1}{m2}</part>', PIANO_PART))
+    notes = score.parts[0].notes
+    # measure 2's note starts at 4 ql (the furthest point reached), not 2 ql
+    assert notes[notes[:, 0] == 74][0][1] == 16
+
+
+def test_chord_onset_after_tie_merge():
+    m1 = ("<measure number=\"1\">"
+          "<attributes><divisions>4</divisions></attributes>"
+          + _note("C", 4, 8, tie="start") + _note("E", 4, 8, chord=True)
+          + "</measure>")
+    m2 = ("<measure number=\"2\">"
+          + _note("C", 4, 4, tie="stop")        # merged, appends no row
+          + _note("E", 4, 4, chord=True)        # re-attack: onset = C-stop's
+          + "</measure>")
+    score = musicxml_to_score(_doc(f'<part id="P1">{m1}{m2}</part>', PIANO_PART))
+    notes = score.parts[0].notes
+    e_notes = notes[notes[:, 0] == 64]
+    assert sorted(e_notes[:, 1].tolist()) == [0, 8]  # NOT both at 0
