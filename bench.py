@@ -84,9 +84,7 @@ def run_decode_bench(n_words: int, warmup_words: int = 32, batch: int = 1):
 def run_multitask_bench():
     """Configs 3+4: BERT mask infill and s2s harmonization throughput."""
     import jax
-    import numpy as np
     from deepmusicgeneration_tpu.codec.item import MusicItem
-    from deepmusicgeneration_tpu.models import multitask as mt
     from deepmusicgeneration_tpu.models.config import multitask_config
     from deepmusicgeneration_tpu.train.learner import MultitaskLearner
     from deepmusicgeneration_tpu.vocab import MusicVocab
