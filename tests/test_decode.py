@@ -162,3 +162,33 @@ def test_int8_kv_cache_decode(engine, seed_idx, vocab):
         logits, qc = txl_mod.decode_step_ring_q(params, cfg, cur, zero, qc, wkr)
         cur = jnp.argmax(logits, -1).astype(jnp.int32)
         assert 0 <= int(cur[0]) < len(vocab)
+
+
+def test_auto_kernel_selection_regimes(vocab, monkeypatch):
+    """Pin the measured regime boundaries (docs/PERF.md): slab for 8-row
+    cells, slab_w8 for small batches, xla otherwise — and the mem_len%32
+    guard falls back to xla instead of a trace-time assert."""
+    import jax
+    from deepmusicgeneration_tpu.decode import engine as eng
+    from deepmusicgeneration_tpu.models.config import btp_phase1_config
+
+    e = eng.GenerationEngine.__new__(eng.GenerationEngine)
+    e.mesh = None
+    e.cfg = btp_phase1_config()
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert e._fused_ok(512) is True
+    assert e._fused_ok(200) is False       # slab writes 32-slot bands
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert e._fused_ok(512) is False
+
+    # the auto decision table itself (mirrors generate_batch's selection)
+    def auto(fused_ok, B):
+        if fused_ok and B % 8 == 0:
+            return "slab"
+        if fused_ok and B < 8:
+            return "slab_w8"
+        return "xla"
+    assert auto(True, 64) == "slab"
+    assert auto(True, 1) == "slab_w8"
+    assert auto(True, 9) == "xla"          # 1-row cells don't amortize
+    assert auto(False, 64) == "xla"
