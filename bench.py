@@ -9,16 +9,32 @@ mem 512) generating 1024 tokens with the full sampling stack (grammar masks,
 reference's `MusicLearner.predict` workload (deep_music_genre.py:1853-1972)
 as one compiled loop.
 
-``vs_baseline``: ratio against a single-threaded-ish CPU run of the same
-compiled engine (the reference publishes no numbers — BASELINE.md sets
-">=5x one TPU chip vs CPU" as the bar). The CPU figure is measured in a
-subprocess and cached in .bench_cpu_baseline.json keyed by config.
+Structure (round 3): the harness is stall-proof.  The axon tunnel has been
+observed to block a single dispatch for 20+ minutes, which in round 2 turned
+a working benchmark into rc=124 with zero output.  Now:
+
+  * the persistent XLA compile cache is enabled first thing, so re-runs skip
+    every compile;
+  * a watchdog thread emits the JSON line with whatever has been measured so
+    far when the wall-clock budget (env ``BENCH_BUDGET_S``, default 600 s)
+    expires — a stall degrades the detail dict instead of zeroing the round;
+  * measurements are *banked* as they complete, cheapest-and-proven first:
+    exact `xla` single-stream kernel → int8-weight `slab_w8` kernel →
+    batched decode (auto kernel; the full 5-kernel sweep only under
+    ``BENCH_SWEEP=1``) → multitask mask/s2s → training step.
+
+``vs_baseline``: ratio against a CPU run of the same compiled engine (the
+reference publishes no numbers — BASELINE.md sets ">=5x one TPU chip vs CPU"
+as the bar and documents the CPU methodology; raw runs in
+``docs/cpu_baseline_runs.json``).  The figure is cached in
+``.bench_cpu_baseline.json`` keyed by config.
 """
 
 import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -28,15 +44,75 @@ CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 N_WORDS = 1024
 CFG_KEY = "txl41m-mem512-n1024-v2"
+T_START = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "600"))
 
 
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[{time.time()-T_START:7.1f}s]", *a, file=sys.stderr, flush=True)
 
 
-def run_decode_bench(n_words: int, warmup_words: int = 32, batch: int = 1):
+# ---------------------------------------------------------------- banking
+# RESULT is updated in place as each measurement lands; the watchdog (or the
+# normal end of main) prints it exactly once.
+
+_RESULT_LOCK = threading.Lock()
+_EMITTED = threading.Event()
+RESULT = {
+    "metric": "decode_tokens_per_sec_per_chip",
+    "value": 0.0,
+    "unit": "tokens/sec",
+    "vs_baseline": 0.0,
+    "detail": {
+        "model": "genre TXL 41M (8L d512 12h mem512)",
+        "n_words": N_WORDS,
+        "stages_completed": [],
+    },
+}
+
+
+def bank(stage: str, primary_tps=None, **detail):
+    """Record a completed measurement; the watchdog can emit at any moment."""
+    with _RESULT_LOCK:
+        RESULT["detail"]["stages_completed"].append(stage)
+        RESULT["detail"].update(detail)
+        if primary_tps is not None and primary_tps > RESULT["value"]:
+            RESULT["value"] = round(primary_tps, 2)
+        base = RESULT["detail"].get("cpu_baseline_tps", 0.0)
+        if base and RESULT["value"]:
+            RESULT["vs_baseline"] = round(RESULT["value"] / base, 2)
+
+
+def emit(tag=""):
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
+    with _RESULT_LOCK:
+        if tag:
+            RESULT["detail"]["emit"] = tag
+        print(json.dumps(RESULT), flush=True)
+
+
+def _watchdog():
+    remaining = BUDGET_S - (time.time() - T_START)
+    if remaining > 0:
+        time.sleep(remaining)
+    if not _EMITTED.is_set():
+        log(f"BUDGET EXCEEDED ({BUDGET_S:.0f}s): emitting banked results and exiting")
+        emit(tag="budget_exceeded")
+        sys.stderr.flush()
+        sys.stdout.flush()
+        os._exit(0)
+
+
+def budget_left() -> float:
+    return BUDGET_S - (time.time() - T_START)
+
+
+# ------------------------------------------------------------ measurements
+
+def _flagship():
     import jax
-    import numpy as np
     from deepmusicgeneration_tpu.decode.engine import GenerationEngine
     from deepmusicgeneration_tpu.models import txl
     from deepmusicgeneration_tpu.models.config import btp_phase1_config
@@ -47,104 +123,26 @@ def run_decode_bench(n_words: int, warmup_words: int = 32, batch: int = 1):
     cfg = btp_phase1_config()
     params = txl.init_txl(jax.random.PRNGKey(0), cfg)
     engine = GenerationEngine(params, cfg, vocab)
-
-    seed_item = MusicItem.from_file("/root/reference/fur_elise.mid", vocab,
-                                    genre="electronic").trim_to_beat(32).remove_eos()
-    seed = seed_item.data
-
-    # primary metric: auto (slab_w8 at B=1 — single-stream decode is
-    # weight-bandwidth-bound and int8 weights nearly halve the per-step HBM
-    # bytes) with the xla ring step as a measured fallback
-    kernels = ([None] if jax.default_backend() != "tpu"
-               else [None, "xla"])
-    best = (0.0, float("inf"))
-    for kernel in kernels:
-        gen = lambda nw, s: engine.generate(
-            seed, n_words=nw, temperatures=(1.8, 1.8, 1.0), min_bars=1_000_000,
-            top_k=30, top_p=0.65, seed=s, decode_kernel=kernel)
-        try:
-            t0 = time.time()
-            gen(warmup_words, 0)
-            gen(n_words, 0)
-            compile_s = time.time() - t0
-            t0 = time.time()
-            out = gen(n_words, 1)
-            dt = time.time() - t0
-        except Exception as e:
-            log(f"decode kernel {kernel} failed: {e}")
-            continue
-        tps = n_words / dt
-        log(f"decode [{kernel or 'auto'}]: {n_words} tokens in {dt:.3f}s → "
-            f"{tps:.1f} tok/s (compile {compile_s:.1f}s, emitted {len(out)})")
-        if tps > best[0]:
-            best = (tps, dt)
-    return best
+    seed = MusicItem.from_file("/root/reference/fur_elise.mid", vocab,
+                               genre="electronic").trim_to_beat(32).remove_eos().data
+    return engine, cfg, vocab, seed
 
 
-def run_multitask_bench():
-    """Configs 3+4: BERT mask infill and s2s harmonization throughput."""
-    import jax
-    from deepmusicgeneration_tpu.codec.item import MusicItem
-    from deepmusicgeneration_tpu.models.config import multitask_config
-    from deepmusicgeneration_tpu.train.learner import MultitaskLearner
-    from deepmusicgeneration_tpu.vocab import MusicVocab
-
-    vocab = MusicVocab.create()
-    learner = MultitaskLearner(multitask_config(len(vocab)), vocab,
-                               rng=jax.random.PRNGKey(0))
-    item = MusicItem.from_file("/root/reference/Never_Gonna_Let_You_Go.mid",
-                               vocab).trim_to_beat(48).remove_eos()
-    masked = item.mask_pitch()
-    n_masks = int((masked.data == vocab.mask_idx).sum())
-    learner.predict_mask(masked, seed=0)  # compile
+def measure_single_stream(engine, seed, kernel, n_words=N_WORDS):
+    """One kernel, one compile+warm call, one timed call. Returns (tps, dt)."""
+    gen = lambda s: engine.generate(
+        seed, n_words=n_words, temperatures=(1.8, 1.8, 1.0), min_bars=1_000_000,
+        top_k=30, top_p=0.65, seed=s, decode_kernel=kernel)
     t0 = time.time()
-    learner.predict_mask(masked, seed=1)
-    mask_dt = time.time() - t0
-    log(f"mask infill: {n_masks} masks over {len(masked)} tokens in {mask_dt:.2f}s "
-        f"→ {n_masks/mask_dt:.1f} infills/s (85M encoder per mask)")
-
-    from deepmusicgeneration_tpu.tasks.harmonize import s2s_predict_from_midi
+    out = gen(0)                                  # compile (cached) + warm run
+    compile_s = time.time() - t0
     t0 = time.time()
-    s2s_predict_from_midi(learner, "/root/reference/Never_Gonna_Let_You_Go.mid",
-                          n_words=128, seed_len=16, seed=0)  # compile+run
-    t0 = time.time()
-    s2s_predict_from_midi(learner, "/root/reference/Never_Gonna_Let_You_Go.mid",
-                          n_words=128, seed_len=16, seed=1)
-    s2s_dt = time.time() - t0
-    log(f"s2s harmonize: 128 tokens in {s2s_dt:.2f}s → {128/s2s_dt:.1f} tok/s")
-    return n_masks / mask_dt, 128 / s2s_dt
-
-
-def cpu_baseline() -> float:
-    if os.path.exists(CACHE_PATH):
-        try:
-            d = json.load(open(CACHE_PATH))
-            if d.get("key") == CFG_KEY:
-                log(f"cpu baseline (cached): {d['tps']:.2f} tok/s")
-                return d["tps"]
-        except Exception:
-            pass
-    code = (
-        "import os; os.environ['JAX_PLATFORMS']='cpu';"
-        "import jax; jax.config.update('jax_platforms','cpu');"
-        "import sys; sys.path.insert(0, %r);"
-        "import bench; tps, _ = bench.run_decode_bench(128, 16);"
-        "print('CPU_TPS', tps)"
-    ) % os.path.dirname(os.path.abspath(__file__))
-    log("measuring CPU baseline (subprocess, 128 tokens)...")
-    try:
-        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                             text=True, timeout=1800)
-        for line in out.stdout.splitlines():
-            if line.startswith("CPU_TPS"):
-                tps = float(line.split()[1])
-                json.dump({"key": CFG_KEY, "tps": tps}, open(CACHE_PATH, "w"))
-                log(f"cpu baseline: {tps:.2f} tok/s")
-                return tps
-        log("cpu baseline failed:", out.stdout[-500:], out.stderr[-2000:])
-    except Exception as e:
-        log("cpu baseline error:", e)
-    return 0.0
+    out = gen(1)
+    dt = time.time() - t0
+    tps = n_words / dt
+    log(f"decode [{kernel or 'auto'}]: {n_words} tokens in {dt:.3f}s → "
+        f"{tps:.1f} tok/s (first call {compile_s:.1f}s, emitted {len(out)})")
+    return tps, dt
 
 
 # v5e (TPU v5 lite) single-chip peaks; used for roofline %s in the report
@@ -164,11 +162,11 @@ def decode_step_traffic(cfg, B: int, M: int, kv_bits: int,
     w_elems = L * (D * 3 * HD + HD * D + D * Dff + Dff * D)
     wkr_elems = L * HD * (M + 1)
     kv_elems = L * B * HD * M * 2                      # K + V
-    kv_read = kv_elems * (kv_bits // 8)
+    kv_read = kv_elems * (kv_bits // 8) if kv_bits >= 8 else kv_elems // 2
     kv_write = (kv_read if write_mode == "pingpong"
-                else L * B * HD * 32 * 2 * (kv_bits // 8))
+                else L * B * HD * 32 * 2 * (max(kv_bits, 8) // 8))
     bytes_step = w_elems * (w_bits // 8) + wkr_elems * 2 + kv_read + kv_write
-    if kv_bits == 8:
+    if kv_bits <= 8:
         scale_read = L * B * M * 4 * 2
         scale_write = scale_read if write_mode == "pingpong" else L * B * 32 * 4 * 2
         bytes_step += scale_read + scale_write
@@ -191,27 +189,30 @@ def roofline(cfg, B: int, M: int, kv_bits: int, tok_per_sec: float,
     return out
 
 
-def run_batched_bench(batch: int = 64, n_words: int = 256):
-    """Config 5: batched streaming — 64 prompts tokenized + decoded at once."""
-    import jax
-    import numpy as np
-    from deepmusicgeneration_tpu.decode.engine import GenerationEngine
-    from deepmusicgeneration_tpu.models import txl
-    from deepmusicgeneration_tpu.models.config import btp_phase1_config
-    from deepmusicgeneration_tpu.codec.item import MusicItem
-    from deepmusicgeneration_tpu.vocab import MusicVocab
+def _kernel_traffic_args(kernel):
+    kv_bits = 16 if kernel in ("multirow", None) else 8
+    mode = "slab" if (kernel or "").startswith("slab") else "pingpong"
+    w_bits = 8 if kernel == "slab_w8" else 16
+    return kv_bits, mode, w_bits
 
-    vocab = MusicVocab.create()
-    cfg = btp_phase1_config()
-    params = txl.init_txl(jax.random.PRNGKey(0), cfg)
-    engine = GenerationEngine(params, cfg, vocab)
+
+def run_batched_bench(engine, cfg, vocab, sweep: bool):
+    """Batched streaming: 64 prompts tokenized + decoded at once."""
+    from deepmusicgeneration_tpu.codec.item import MusicItem
+    batch, n_words = 64, 256
     t0 = time.time()
     seeds = [MusicItem.from_file(fp, vocab, genre="electronic").trim_to_beat(32).remove_eos().data
              for fp in ["/root/reference/fur_elise.mid",
                         "/root/reference/Undertale_-_Megalovania.mid"] * (batch // 2)]
     tok_time = time.time() - t0
-    results = {}
-    for kernel in ("multirow", "multirow_int8", "slab", "slab_int8", "slab_w8"):
+    bank("tokenize", midi_files_encoded_per_sec=round(batch / tok_time, 2))
+    kernels = (("multirow", "multirow_int8", "slab", "slab_int8", "slab_w8")
+               if sweep else (None,))          # None → engine auto-select (slab)
+    by_kernel, rf_by_kernel = {}, {}
+    for kernel in kernels:
+        if budget_left() < 60:
+            log(f"skipping batched kernel {kernel}: budget low")
+            break
         try:
             engine.generate_batch(seeds, n_words=n_words, min_bars=1_000_000,
                                   seed=0, decode_kernel=kernel)
@@ -223,62 +224,220 @@ def run_batched_bench(batch: int = 64, n_words: int = 256):
             log(f"batched decode kernel {kernel} failed: {e}")
             continue
         tps = batch * n_words / dt
-        kv_bits = 16 if kernel == "multirow" else 8
-        mode = "slab" if kernel.startswith("slab") else "pingpong"
-        w_bits = 8 if kernel == "slab_w8" else 16
+        kv_bits, mode, w_bits = _kernel_traffic_args(kernel)
         rf = roofline(cfg, batch, cfg.mem_len, kv_bits, tps, mode, w_bits)
-        results[kernel] = (tps, rf)
-        log(f"batched decode [{kernel}]: B={batch} × {n_words} tokens in "
+        name = kernel or "auto"
+        by_kernel[name] = round(tps, 1)
+        rf_by_kernel[name] = rf
+        log(f"batched decode [{name}]: B={batch} × {n_words} tokens in "
             f"{dt:.3f}s → {tps:.0f} tok/s  {rf}")
-    log(f"host tokenize {batch} files: {tok_time:.2f}s")
-    return results, batch / tok_time
+        bank(f"batched:{name}",
+             batch64_tokens_per_sec=max(by_kernel.values()),
+             batch64_by_kernel=dict(by_kernel),
+             batch64_roofline=dict(rf_by_kernel))
+
+
+def run_multitask_bench():
+    """BERT mask infill and s2s harmonization throughput (85M multitask)."""
+    import jax
+    from deepmusicgeneration_tpu.codec.item import MusicItem
+    from deepmusicgeneration_tpu.models.config import multitask_config
+    from deepmusicgeneration_tpu.train.learner import MultitaskLearner
+    from deepmusicgeneration_tpu.vocab import MusicVocab
+
+    vocab = MusicVocab.create()
+    learner = MultitaskLearner(multitask_config(len(vocab)), vocab,
+                               rng=jax.random.PRNGKey(0))
+    item = MusicItem.from_file("/root/reference/Never_Gonna_Let_You_Go.mid",
+                               vocab).trim_to_beat(48).remove_eos()
+    masked = item.mask_pitch()
+    n_masks = int((masked.data == vocab.mask_idx).sum())
+    learner.predict_mask(masked, seed=0)  # compile
+    t0 = time.time()
+    learner.predict_mask(masked, seed=1)
+    mask_dt = time.time() - t0
+    log(f"mask infill: {n_masks} masks over {len(masked)} tokens in {mask_dt:.2f}s "
+        f"→ {n_masks/mask_dt:.1f} infills/s (85M encoder per mask)")
+    bank("mask", mask_infills_per_sec_85m=round(n_masks / mask_dt, 1))
+
+    if budget_left() < 90:
+        log("skipping s2s bench: budget low")
+        return
+    from deepmusicgeneration_tpu.tasks.harmonize import s2s_predict_from_midi
+    s2s_predict_from_midi(learner, "/root/reference/Never_Gonna_Let_You_Go.mid",
+                          n_words=128, seed_len=16, seed=0)  # compile+run
+    t0 = time.time()
+    s2s_predict_from_midi(learner, "/root/reference/Never_Gonna_Let_You_Go.mid",
+                          n_words=128, seed_len=16, seed=1)
+    s2s_dt = time.time() - t0
+    log(f"s2s harmonize: 128 tokens in {s2s_dt:.2f}s → {128/s2s_dt:.1f} tok/s")
+    bank("s2s", s2s_decode_tokens_per_sec_85m=round(128 / s2s_dt, 1))
+
+
+def run_train_bench():
+    """Training throughput: 41M flagship, bs 32, bptt 512, bf16, one chip.
+
+    ~20 timed steps after one compiled step.  Reports tokens/s and model
+    FLOPs utilisation (analytic fwd+bwd matmul FLOPs / wall / peak).
+    Reference recipe: A100 fp16, notebook cells 62-73.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from deepmusicgeneration_tpu.models.config import btp_phase1_config
+    from deepmusicgeneration_tpu.train import loop as train_loop
+    from deepmusicgeneration_tpu.vocab import MusicVocab
+
+    vocab = MusicVocab.create()
+    cfg = btp_phase1_config()
+    B, L = 32, 512
+    opt = train_loop.make_optimizer(total_steps=1000)
+    state = train_loop.init_train_state(jax.random.PRNGKey(0), cfg, opt, B)
+    step = jax.jit(train_loop.make_train_step(cfg, opt, vocab.pad_idx))
+    rng = np.random.default_rng(0)
+    batch = {"x": jnp.asarray(rng.integers(4, len(vocab), (B, L)), jnp.int32),
+             "y": jnp.asarray(rng.integers(4, len(vocab), (B, L)), jnp.int32),
+             "pos": jnp.asarray(rng.integers(0, 400, (B, L)), jnp.int32)}
+    key = jax.random.PRNGKey(1)
+    state, m = step(state, batch, key)           # compile (cached) + warm
+    jax.block_until_ready(m["loss"])
+    n_steps = 20
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, m = step(state, batch, key)
+    jax.block_until_ready(m["loss"])
+    dt = time.time() - t0
+    toks = n_steps * B * L
+    tps = toks / dt
+
+    # analytic matmul FLOPs: fwd = 2*tokens*(layer weights + tied decoder)
+    # + attention scores/PV (AC and BD terms) over (L+M) keys; bwd ≈ 2× fwd.
+    D, Dff, HD, M = cfg.d_model, cfg.d_inner, cfg.n_heads * cfg.d_head, cfg.mem_len
+    w_elems = cfg.n_layers * (D * 3 * HD + HD * D + D * Dff + Dff * D)
+    fwd = 2 * B * L * (w_elems + D * len(vocab)) \
+        + 2 * cfg.n_layers * B * L * (L + M) * HD * 3   # AC + BD + PV
+    total = 3 * fwd * n_steps
+    kind = jax.devices()[0].device_kind
+    mfu = (100 * total / dt / 1e12 / PEAK_BF16_TFLOPS[kind]
+           if kind in PEAK_BF16_TFLOPS else 0.0)
+    log(f"train step: {n_steps} steps of B={B} L={L} in {dt:.2f}s → "
+        f"{tps:.0f} tok/s, MFU {mfu:.1f}%")
+    bank("train", train_tokens_per_sec=round(tps, 1),
+         train_step_ms=round(1000 * dt / n_steps, 1),
+         train_mfu_pct=round(mfu, 1),
+         train_shape={"batch": B, "bptt": L})
+
+
+def cpu_baseline() -> float:
+    if os.path.exists(CACHE_PATH):
+        try:
+            d = json.load(open(CACHE_PATH))
+            if d.get("key") == CFG_KEY:
+                log(f"cpu baseline (cached): {d['tps']:.2f} tok/s")
+                return d["tps"]
+        except Exception:
+            pass
+    code = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys, time; sys.path.insert(0, %r);"
+        "import bench;"
+        "engine, cfg, vocab, seed = bench._flagship();"
+        "tps, _ = bench.measure_single_stream(engine, seed, 'xla', 128);"
+        "print('CPU_TPS', tps)"
+    ) % os.path.dirname(os.path.abspath(__file__))
+    log("measuring CPU baseline (subprocess, 128 tokens)...")
+    try:
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                             text=True, timeout=max(budget_left() - 30, 60))
+        for line in out.stdout.splitlines():
+            if line.startswith("CPU_TPS"):
+                tps = float(line.split()[1])
+                json.dump({"key": CFG_KEY, "tps": tps}, open(CACHE_PATH, "w"))
+                log(f"cpu baseline: {tps:.2f} tok/s")
+                return tps
+        log("cpu baseline failed:", out.stdout[-500:], out.stderr[-2000:])
+    except Exception as e:
+        log("cpu baseline error:", e)
+    return 0.0
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    from deepmusicgeneration_tpu.utils import compile_cache
+    cache_dir = compile_cache.enable()
+    log(f"compile cache: {cache_dir}")
+
     import jax
     platform = jax.devices()[0].platform
     log(f"backend: {platform} ({jax.devices()})")
-    tps, dt = run_decode_bench(N_WORDS)
-    if tps <= 0.0 or not (dt < float("inf")):
-        log("FATAL: every decode kernel failed; see errors above")
-        print(json.dumps({"metric": "decode_tokens_per_sec_per_chip",
-                          "value": 0.0, "unit": "tokens/sec",
-                          "vs_baseline": 0.0,
-                          "detail": {"error": "all decode kernels failed"}}))
-        sys.exit(1)
-    batch_res, files_per_sec = (run_batched_bench() if platform != "cpu"
-                                else ({}, 0))
-    if platform != "cpu":
+    bank("init", backend=platform)
+
+    # Load the cached CPU denominator up front so even an early watchdog emit
+    # carries a real vs_baseline; re-measure later only if missing.
+    base = 0.0
+    if platform != "cpu" and os.path.exists(CACHE_PATH):
         try:
-            mask_rate, s2s_tps = run_multitask_bench()
+            d = json.load(open(CACHE_PATH))
+            if d.get("key") == CFG_KEY:
+                base = d["tps"]
+                bank("cpu_cache", cpu_baseline_tps=round(base, 2))
+        except Exception:
+            pass
+
+    # tiny dispatch to absorb any tunnel stall before the real measurements
+    t0 = time.time()
+    jax.block_until_ready(jax.numpy.zeros((8, 128)) + 1.0)
+    log(f"first dispatch: {time.time()-t0:.2f}s")
+
+    engine, cfg, vocab, seed = _flagship()
+
+    # Stage 1 — bank the proven exact path first.
+    try:
+        tps, dt = measure_single_stream(engine, seed, "xla")
+        bank("single:xla", primary_tps=tps, single_stream_xla_tps=round(tps, 1),
+             p50_latency_s_1024_tokens=round(dt, 3))
+    except Exception as e:
+        log("xla single-stream failed:", e)
+
+    # Stage 2 — the fast int8-weight kernel (auto pick at B=1 on TPU).
+    if platform != "cpu" and budget_left() > 90:
+        try:
+            tps, dt = measure_single_stream(engine, seed, None)
+            bank("single:auto", primary_tps=tps,
+                 single_stream_auto_tps=round(tps, 1),
+                 p50_latency_s_1024_tokens=min(
+                     round(dt, 3),
+                     RESULT["detail"].get("p50_latency_s_1024_tokens", 1e9)))
         except Exception as e:
-            log("multitask bench failed:", e)
-            mask_rate, s2s_tps = 0.0, 0.0
+            log("auto single-stream failed:", e)
+
+    if platform != "cpu":
+        if budget_left() > 120:
+            try:
+                run_batched_bench(engine, cfg, vocab,
+                                  sweep=os.environ.get("BENCH_SWEEP") == "1")
+            except Exception as e:
+                log("batched bench failed:", e)
+        if budget_left() > 150:
+            try:
+                run_multitask_bench()
+            except Exception as e:
+                log("multitask bench failed:", e)
+        if budget_left() > 90:
+            try:
+                run_train_bench()
+            except Exception as e:
+                log("train bench failed:", e)
+        if base <= 0.0 and budget_left() > 120:
+            base = cpu_baseline()
+            if base > 0:
+                bank("cpu", cpu_baseline_tps=round(base, 2))
     else:
-        mask_rate, s2s_tps = 0.0, 0.0
-    base = cpu_baseline() if platform != "cpu" else tps
-    vs = tps / base if base > 0 else 0.0
-    result = {
-        "metric": "decode_tokens_per_sec_per_chip",
-        "value": round(tps, 2),
-        "unit": "tokens/sec",
-        "vs_baseline": round(vs, 2),
-        "detail": {
-            "model": "genre TXL 41M (8L d512 12h mem512)",
-            "n_words": N_WORDS,
-            "p50_latency_s_1024_tokens": round(dt, 3),
-            "cpu_baseline_tps": round(base, 2),
-            "batch64_tokens_per_sec": round(
-                max((r[0] for r in batch_res.values()), default=0.0), 1),
-            "batch64_by_kernel": {k: round(v[0], 1) for k, v in batch_res.items()},
-            "batch64_roofline": {k: v[1] for k, v in batch_res.items()},
-            "midi_files_encoded_per_sec": round(files_per_sec, 2),
-            "mask_infills_per_sec_85m": round(mask_rate, 1),
-            "s2s_decode_tokens_per_sec_85m": round(s2s_tps, 1),
-            "backend": platform,
-        },
-    }
-    print(json.dumps(result))
+        bank("cpu-run", cpu_baseline_tps=RESULT["value"] or 1.0)
+
+    emit(tag="complete")
 
 
 if __name__ == "__main__":
