@@ -22,6 +22,7 @@ Parity contract with the reference engine:
 from __future__ import annotations
 
 import functools
+import logging
 from dataclasses import dataclass
 from typing import Dict, NamedTuple, Optional, Tuple
 
@@ -372,17 +373,41 @@ class GenerationEngine:
         self._stacked = None
         self._stacked_q = None
 
-    def _fused_ok(self, mem_len: int) -> bool:
+    # int8 KV kernels tile the cache in 32-slot sublane bands (slab writes /
+    # quantized reads), so they need 32-aligned memory; the bf16 'multirow'
+    # ping-pong rewrite has no such requirement.
+    _ALIGNED_KERNELS = ("slab", "slab_int8", "slab_w8", "multirow_int8")
+
+    def _fused_ok(self, mem_len: int, kernel: Optional[str] = None) -> bool:
         """The fused Pallas decode kernels apply when: TPU backend, bf16
         bias-free config without beat-position embeddings (the genre flagship
-        shape), unsharded, 32-aligned memory (the slab family writes 32-slot
-        bands). The cell row count adapts to any batch size."""
-        return (jax.default_backend() == "tpu"
+        shape), unsharded. Kernels touching int8 KV ("slab"/"multirow_int8"
+        families, and the default ``kernel=None`` = "would auto-select pick a
+        fused kernel") additionally need mem_len % 32 == 0; the bf16
+        'multirow' kernel runs at any mem_len. The cell row count adapts to
+        any batch size."""
+        base = (jax.default_backend() == "tpu"
                 and self.mesh is None
                 and self.cfg.dtype == "bfloat16"
                 and not self.cfg.bias
-                and not self.cfg.encode_position
-                and mem_len % 32 == 0)
+                and not self.cfg.encode_position)
+        if kernel is None or kernel in self._ALIGNED_KERNELS:
+            return base and mem_len % 32 == 0
+        return base
+
+    def _log_kernel_choice(self, kernel: str, batch: int) -> None:
+        """Auto-selected fused kernels quantize the KV cache (and, for
+        slab_w8, the weights) to int8 — ~1e-2 logit deltas vs the exact bf16
+        path (eval-validated, docs/EVAL.json). Log the pick once per kernel so
+        exactness-sensitive callers know to pass decode_kernel='xla'."""
+        if not hasattr(self, "_logged_kernels"):
+            self._logged_kernels = set()
+        if kernel not in self._logged_kernels:
+            self._logged_kernels.add(kernel)
+            logging.getLogger(__name__).info(
+                "decode auto-selected fused kernel %r for batch %d "
+                "(int8-quantized KV; pass decode_kernel='xla' for the exact "
+                "bf16 path)", kernel, batch)
 
     def stacked(self):
         if self._stacked is None:
@@ -421,7 +446,12 @@ class GenerationEngine:
         decode_kernel: Optional[str] = None,
         rows_per_cell: Optional[int] = None,
     ) -> np.ndarray:
-        """Generate continuation tokens for one prompt; returns the new ids."""
+        """Generate continuation tokens for one prompt; returns the new ids.
+
+        NOTE on numerics: with ``decode_kernel=None`` (auto) the engine picks
+        the fastest fused TPU kernel, which quantizes the KV cache — and at
+        B<8 also the weights — to int8 (~1e-2 logit deltas, eval-validated).
+        Pass ``decode_kernel='xla'`` for the exact bf16 path."""
         toks, lengths = self.generate_batch(
             [np.asarray(seed_idxenc)],
             [seed_pos] if seed_pos is not None else None,
@@ -493,10 +523,14 @@ class GenerationEngine:
                 decode_kernel = "slab_w8"
             else:
                 decode_kernel = "xla"
-        if decode_kernel != "xla" and not fused_ok:
+            if decode_kernel != "xla":
+                self._log_kernel_choice(decode_kernel, B)
+        if decode_kernel != "xla" and not self._fused_ok(mem_len, decode_kernel):
+            need32 = decode_kernel in self._ALIGNED_KERNELS
             raise ValueError(f"decode_kernel={decode_kernel!r} needs the TPU "
-                             "fused path (bf16 bias-free config, unsharded, "
-                             f"mem_len % 32 == 0; got mem_len={mem_len})")
+                             "fused path (bf16 bias-free config, unsharded"
+                             + (f", mem_len % 32 == 0; got mem_len={mem_len})"
+                                if need32 else ")"))
         if rows_per_cell is not None:
             if B % rows_per_cell:
                 raise ValueError(f"rows_per_cell={rows_per_cell} must divide "

@@ -1116,6 +1116,11 @@ def fused_slab_core(
     assert B % R == 0 and M % SLAB == 0
     SMAX = max(3 * HD, D, Dff)
     if w_scales is None:
+        if weights_int8:
+            raise ValueError(
+                "weights_int8=True requires w_scales (from "
+                "quantize_stacked_weights); zero scales would zero every "
+                "weight panel")
         w_scales = jnp.zeros((L, 8, SMAX), jnp.float32)
 
     lspec = lambda shape: pl.BlockSpec(
