@@ -11,7 +11,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..vocab import NOTE_SIZE, VALTSEP
+from ..vocab import NOTE_SIZE, VALTCONT, VALTSEP
 from ..midi.score import chordarr_to_midifile
 from ..midi.smf import MidiFile, render_midi_bytes, write_midi_file
 
@@ -111,6 +111,42 @@ def shorten_chordarr_rests(arr: np.ndarray, max_rests: int = 8, sample_freq: int
 
 def compress_chordarr(chordarr: np.ndarray) -> np.ndarray:
     return shorten_chordarr_rests(trim_chordarr_rests(chordarr))
+
+
+def remove_overlaps(chordarr: np.ndarray, separate_chords: bool = True) -> np.ndarray:
+    """Separate overlapping notes into different lanes (encodings.py:412-421).
+
+    The reference delegates to music21: with ``separate_chords`` (the
+    default) it routes single notes vs chords into two parts
+    (`separate_melody_chord`); otherwise ``makeVoices().voicesToParts()``
+    splits time-overlapping notes within a part into voices — greedy
+    first-free-voice assignment in onset order — each voice becoming its own
+    part. Here the same split runs directly on the chordarr roll (onset
+    cells hold durations, held steps ``VALTCONT``); lanes come back as
+    ``[part0_voice0, part0_voice1, ..., part1_voice0, ...]``.
+    """
+    if separate_chords:
+        return separate_melody_chord(chordarr)
+    chordarr = np.asarray(chordarr)
+    T, I, P = chordarr.shape
+    lanes = []
+    for i in range(I):
+        voices: list = []          # (lane (T,P), first free timestep)
+        for t, p in np.argwhere(chordarr[:, i] > 0):   # time-major order
+            d = int(chordarr[t, i, p])
+            v = next((k for k, (_, free) in enumerate(voices) if free <= t),
+                     None)
+            if v is None:
+                voices.append([np.zeros((T, P)), 0])
+                v = len(voices) - 1
+            lane = voices[v][0]
+            lane[t, p] = d
+            lane[t + 1:t + d, p] = VALTCONT
+            voices[v][1] = t + d
+        if not voices:              # keep an empty lane so parts stay indexed
+            voices = [[np.zeros((T, P)), 0]]
+        lanes.extend(lane for lane, _ in voices)
+    return np.stack(lanes, axis=1)
 
 
 def separate_melody_chord(chordarr: np.ndarray) -> np.ndarray:

@@ -225,6 +225,52 @@ def test_separate_melody_chord():
     assert out[2, 1, 60] == 1 and out[2, 1, 64] == 1 and out[2, 0, 60] == 0
 
 
+def test_remove_overlaps_voices():
+    """Voice split (separate_chords=False): every output lane is overlap-free
+    and the note multiset is preserved — property-tested on random rolls."""
+    from deepmusicgeneration_tpu.codec.decode import remove_overlaps
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        T, I = 32, rng.integers(1, 4)
+        notes = []
+        ch = np.zeros((T, I, 128))
+        for _ in range(rng.integers(1, 25)):
+            i = int(rng.integers(0, I))
+            t = int(rng.integers(0, T - 1))
+            d = int(rng.integers(1, T - t))
+            p = int(rng.integers(40, 90))
+            if ch[t, i, p] > 0:          # same-cell rewrite: keep the test simple
+                continue
+            ch[t, i, p] = d
+            notes.append((i, t, p, d))
+        out = remove_overlaps(ch, separate_chords=False)
+        assert out.shape[0] == T and out.shape[2] == 128
+        # note multiset preserved
+        got = [(int(t), int(p), int(out[t, v, p]))
+               for t, v, p in np.argwhere(out > 0)]
+        assert sorted(got) == sorted((t, p, d) for _, t, p, d in notes)
+        # no overlap within a lane: while a note is held, no other cell in
+        # that lane is active
+        for v in range(out.shape[1]):
+            for t, p in np.argwhere(out[:, v] > 0):
+                d = int(out[t, v, p])
+                span = out[t:t + d, v].copy()
+                span[0, p] = 0
+                later = out[t + 1:t + d, v, p]
+                assert (span[0] == 0).all() and (later <= 0).all()
+                assert (span[1:] > 0).sum() == 0, "onset during a held note"
+
+
+def test_remove_overlaps_separate_chords_delegates():
+    from deepmusicgeneration_tpu.codec.decode import (remove_overlaps,
+                                                      separate_melody_chord)
+    ch = np.zeros((4, 1, 128))
+    ch[0, 0, 60] = 2
+    ch[2, 0, 60] = 1
+    ch[2, 0, 64] = 1
+    assert np.array_equal(remove_overlaps(ch), separate_melody_chord(ch))
+
+
 def test_combine_parts_and_pad():
     from deepmusicgeneration_tpu.codec.decode import chordarr_combine_parts, pad_part_to
     a = np.zeros((3, 1, 128)); a[0, 0, 60] = 1
