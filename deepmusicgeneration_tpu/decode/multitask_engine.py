@@ -236,6 +236,12 @@ def _predict_s2s_compiled(
     enc_out = mt.encode(params, cfg, inp, inp_pos, pad_cols=inp_pad)
     logits, cache = mt.decoder_prefill(params, cfg, targ, targ_pos, targ_pad,
                                        enc_out, enc_pad=inp_pad, mem_len=mem_len)
+    # ring decode state: O(1) slot writes + loop-invariant tables (the
+    # shift-append `decoder_step` rewrites the full cache, re-projects wkr per
+    # layer and re-projects enc_out through cross K/V every step)
+    ring = mt.dec_ring_from_prefill(cache)
+    cross = mt.precompute_cross(params, cfg, enc_out)
+    wkr_all = mt.precompute_dec_wkr(params, cfg, mem_len)
     st0 = SampleState(
         prev_tok=targ[:, -1].astype(jnp.int32),
         last_pos=start_last_pos.astype(jnp.int32),
@@ -250,17 +256,18 @@ def _predict_s2s_compiled(
 
     def step(carry, inp):
         i, sub = inp
-        cache, st, logits = carry
+        ring, st, logits = carry
         idx, st = sample_next_token(
             logits, st, tables, temperatures, top_p,
             jnp.asarray(0, jnp.int32), allowed_ins_overlay, sub, settings,
             i.astype(jnp.float32) / settings.n_words, max_pos=max_pos)
-        logits, cache = mt.decoder_step(params, cfg, idx, st.last_pos, cache,
-                                        enc_out, enc_pad=inp_pad)
-        return (cache, st, logits), idx
+        logits, ring = mt.decoder_step_ring(params, cfg, idx, st.last_pos,
+                                            ring, cross, wkr_all,
+                                            enc_pad=inp_pad)
+        return (ring, st, logits), idx
 
     (_, st, _), toks = jax.lax.scan(
-        step, (cache, st0, logits), (jnp.arange(settings.n_words), step_keys))
+        step, (ring, st0, logits), (jnp.arange(settings.n_words), step_keys))
     return toks.T, st.n_emitted
 
 
@@ -348,6 +355,8 @@ def _predict_nw_compiled(
 ):
     B = x.shape[0]
     logits, cache = mt.lm_prefill(params, cfg, x, pos, pad, mem_len=mem_len)
+    ring = mt.dec_ring_from_prefill(cache)
+    wkr_all = mt.precompute_dec_wkr(params, cfg, mem_len)
     st0 = SampleState(
         prev_tok=x[:, -1].astype(jnp.int32),
         last_pos=start_last_pos.astype(jnp.int32),
@@ -363,15 +372,16 @@ def _predict_nw_compiled(
 
     def step(carry, inp):
         i, sub = inp
-        cache, st, logits = carry
+        ring, st, logits = carry
         idx, st = sample_next_token(logits, st, tables, temperatures, top_p,
                                     min_bars, overlay, sub, settings,
                                     i.astype(jnp.float32) / settings.n_words)
-        logits, cache = mt.lm_step(params, cfg, idx, st.last_pos, cache)
-        return (cache, st, logits), idx
+        logits, ring = mt.lm_step_ring(params, cfg, idx, st.last_pos, ring,
+                                       wkr_all)
+        return (ring, st, logits), idx
 
     (_, st, _), toks = jax.lax.scan(
-        step, (cache, st0, logits), (jnp.arange(settings.n_words), step_keys))
+        step, (ring, st0, logits), (jnp.arange(settings.n_words), step_keys))
     return toks.T, st.n_emitted
 
 

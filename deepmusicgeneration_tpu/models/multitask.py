@@ -383,6 +383,213 @@ def decoder_step(
 
 
 # ---------------------------------------------------------------------------
+# Ring-buffer decode (the fast s2s/nw path)
+#
+# `decoder_step`/`lm_step` above keep the reference-shaped shift-append cache:
+# every token rewrites the whole (L, B, M, H, Dh) K/V buffer, re-projects the
+# relative table through every layer's r_w, and — for s2s — re-projects the
+# full encoder output through the cross-attention K/V weights. All three are
+# loop-invariant or single-slot work. This path (mirroring
+# models/txl.py::decode_step_ring, verified identical in tests):
+#   * ring cache: ONE dynamic_update_slice slot write per layer per step,
+#   * wkr tables precomputed once per generation (self + cross),
+#   * cross-attention K/V projected once at encode time,
+#   * for single-token queries rel_shift is the identity and the r_mask tril
+#     is all-ones, so the cross BD term indexes the distance table directly.
+# ---------------------------------------------------------------------------
+
+PAD_G = -(1 << 30)
+
+
+class DecRingCache(NamedTuple):
+    k: jnp.ndarray        # (dec_layers, B, H, M, Dh)
+    v: jnp.ndarray
+    g: jnp.ndarray        # (B, M) int32 global index per slot (pad → PAD_G)
+    ptr: jnp.ndarray      # () int32 next slot to overwrite
+    g_cur: jnp.ndarray    # () int32 global index of the token being decoded
+
+
+class CrossCache(NamedTuple):
+    k: jnp.ndarray        # (dec_layers, B, H, Le, Dh)
+    v: jnp.ndarray
+    wkr: jnp.ndarray      # (dec_layers, H, Le, Dh)
+
+
+def _wkr_of(ap, r, H: int, Dh: int):
+    wkr = r @ ap["r_w"].astype(r.dtype)
+    if ap["r_b"] is not None:
+        wkr = wkr + ap["r_b"].astype(wkr.dtype)
+    return wkr.reshape(r.shape[0], H, Dh).transpose(1, 0, 2)
+
+
+def precompute_dec_wkr(params, cfg: MultitaskConfig, mem_len: int) -> jnp.ndarray:
+    """(dec_layers, H, M+1, Dh): self-attn relative table over distances
+    M..0, hoisted out of the decode loop (decoder_step recomputes it per
+    layer per step)."""
+    dt = cfg.act_dtype
+    r = backwards_pos_enc(mem_len + 1, cfg.d_model, dtype=dt)
+    return jnp.stack([_wkr_of(bp["mha1"], r, cfg.n_heads, cfg.d_head)
+                      for bp in params["decoder"]["layers"]])
+
+
+def precompute_cross(params, cfg: MultitaskConfig, enc_out) -> CrossCache:
+    """Project encoder output through every layer's cross-attention K/V once
+    (decoder_step re-projects the full (B, Le, D) output EVERY step), plus the
+    cross relative table (r[-Le:] ↔ backwards_pos_enc(Le))."""
+    H, Dh = cfg.n_heads, cfg.d_head
+    dt = enc_out.dtype
+    r = backwards_pos_enc(enc_out.shape[1], cfg.d_model, dtype=dt)
+    ks, vs, wk = [], [], []
+    for bp in params["decoder"]["layers"]:
+        ap = bp["mha2"]
+        ks.append(_proj(enc_out, ap["k_w"], ap["k_b"], H, Dh))  # (B, H, Le, Dh)
+        vs.append(_proj(enc_out, ap["v_w"], ap["v_b"], H, Dh))
+        wk.append(_wkr_of(ap, r, H, Dh))
+    return CrossCache(jnp.stack(ks), jnp.stack(vs), jnp.stack(wk))
+
+
+def dec_ring_from_prefill(cache: DecKVCache) -> DecRingCache:
+    """Right-aligned prefill cache → ring form. Slot j holds the prompt token
+    with global index j - M (last prompt token → -1); invalid slots PAD_G;
+    the pointer starts at 0, overwriting the oldest slot first."""
+    L, B, M, H, Dh = cache.k.shape
+    k = cache.k.transpose(0, 1, 3, 2, 4)     # → (L, B, H, M, Dh)
+    v = cache.v.transpose(0, 1, 3, 2, 4)
+    slot = jnp.arange(M)[None, :]
+    g = jnp.where(slot >= (M - cache.valid[:, None]), slot - M, PAD_G)
+    return DecRingCache(k=k, v=v, g=jnp.broadcast_to(g.astype(jnp.int32), (B, M)),
+                        ptr=jnp.zeros((), jnp.int32),
+                        g_cur=jnp.zeros((), jnp.int32))
+
+
+def _ring_self_attn(ap, cfg: MultitaskConfig, h, cache: DecRingCache, i: int,
+                    wkr_all, u, v, blocked):
+    """One layer's ln(q + self_attn) over the ring cache; returns
+    (h_out, k1, v1) with k1/v1 (B, H, 1, Dh) ready for the slot write."""
+    B = h.shape[0]
+    H, Dh = cfg.n_heads, cfg.d_head
+    M = cache.k.shape[3]
+    acc = jnp.float32
+    q = _proj(h, ap["q_w"], ap["q_b"], H, Dh)
+    k1 = _proj(h, ap["k_w"], ap["k_b"], H, Dh)
+    v1 = _proj(h, ap["v_w"], ap["v_b"], H, Dh)
+    ks, vs = cache.k[i], cache.v[i]                       # (B, H, M, Dh)
+    ac = jnp.einsum("bhqd,bhkd->bhqk", q + u, ks, preferred_element_type=acc)[:, :, 0]
+    # distance-space BD: wkr row m ↔ distance M-m; ring slot j holds distance
+    # ((ptr-1-j) mod M) + 1 — a pure rotation, so slot-space BD is the first M
+    # wkr scores rolled by ptr (see txl.decode_step_ring for the derivation)
+    s_d = jnp.einsum("bhqd,hkd->bhqk", q + v, wkr_all[i],
+                     preferred_element_type=acc)[:, :, 0]  # (B, H, M+1)
+    bd = jnp.roll(s_d[..., :M], cache.ptr, axis=-1)
+    scale = (1.0 / jnp.sqrt(jnp.asarray(Dh, acc))) if cfg.scale else 1.0
+    score = (ac + bd) * scale
+    score = jnp.where(blocked[:, None, :], NEG_INF, score)
+    ac_self = jnp.einsum("bhqd,bhqd->bhq", q + u, k1, preferred_element_type=acc)
+    self_score = (ac_self[:, :, 0] + s_d[..., -1]) * scale       # (B, H)
+    full = jnp.concatenate([score, self_score[:, :, None]], axis=-1)
+    prob = jax.nn.softmax(full.astype(jnp.float32), axis=-1).astype(h.dtype)
+    attn = jnp.einsum("bhk,bhkd->bhd", prob[..., :M], vs,
+                      preferred_element_type=acc).astype(h.dtype)
+    attn = attn + prob[..., M:M + 1].astype(h.dtype) * v1[:, :, 0]
+    attn = attn.reshape(B, 1, H * Dh)
+    return _layer_norm(h + attn, ap["ln_g"], ap["ln_b"]), k1, v1
+
+
+def _cross_attn_step(ap, cfg: MultitaskConfig, h, kc, vc, wkr2, u, v, cross_mask):
+    """Single-token cross-attention with cached K/V. Exactly `_attn_apply`
+    at Lq=1: rel_shift is the identity and the r_mask tril keeps every
+    column, so BD indexes the table directly."""
+    B = h.shape[0]
+    H, Dh = cfg.n_heads, cfg.d_head
+    acc = jnp.float32
+    q = _proj(h, ap["q_w"], ap["q_b"], H, Dh)             # (B, H, 1, Dh)
+    ac = jnp.einsum("bhqd,bhkd->bhqk", q + u, kc, preferred_element_type=acc)
+    bd = jnp.einsum("bhqd,hkd->bhqk", q + v, wkr2, preferred_element_type=acc)
+    score = ac + bd
+    if cfg.scale:
+        score = score * (1.0 / jnp.sqrt(jnp.asarray(Dh, acc)))
+    if cross_mask is not None:
+        score = jnp.where(cross_mask, NEG_INF, score)
+    prob = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(h.dtype)
+    attn = jnp.einsum("bhqk,bhkd->bhqd", prob, vc, preferred_element_type=acc)
+    attn = attn.astype(h.dtype).transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
+    return _layer_norm(h + attn, ap["ln_g"], ap["ln_b"])
+
+
+def _ring_write(cache: DecRingCache, new_k, new_v, i: int, k1, v1):
+    B, H = k1.shape[0], k1.shape[1]
+    Dh = k1.shape[-1]
+    new_k = jax.lax.dynamic_update_slice(
+        new_k, k1.reshape(1, B, H, 1, Dh), (i, 0, 0, cache.ptr, 0))
+    new_v = jax.lax.dynamic_update_slice(
+        new_v, v1.reshape(1, B, H, 1, Dh), (i, 0, 0, cache.ptr, 0))
+    return new_k, new_v
+
+
+def _ring_advance(cache: DecRingCache, new_k, new_v) -> DecRingCache:
+    B, M = cache.g.shape
+    g = jax.lax.dynamic_update_slice(
+        cache.g, jnp.broadcast_to(cache.g_cur, (B, 1)).astype(jnp.int32),
+        (0, cache.ptr))
+    return DecRingCache(k=new_k, v=new_v, g=g,
+                        ptr=(cache.ptr + 1) % M, g_cur=cache.g_cur + 1)
+
+
+def decoder_step_ring(
+    params, cfg: MultitaskConfig,
+    tok, pos,                    # (B,), (B,)
+    cache: DecRingCache,
+    cross: CrossCache,
+    wkr_all: jnp.ndarray,        # (dec_layers, H, M+1, Dh)
+    enc_pad=None,
+    pad_idx: int = 1,
+) -> Tuple[jnp.ndarray, DecRingCache]:
+    """Fast `decoder_step`: identical math (tested), O(1) cache writes."""
+    dt = cfg.act_dtype
+    M = cache.k.shape[3]
+    h = embed_tokens(params, cfg, tok[:, None], pos[:, None], pad_idx)
+    u, v = params["decoder"]["u"].astype(dt), params["decoder"]["v"].astype(dt)
+    dist = cache.g_cur - cache.g
+    blocked = (dist < 1) | (dist > M)
+    cross_mask = enc_pad[:, None, None, :] if enc_pad is not None else None
+
+    new_k, new_v = cache.k, cache.v
+    for i, bp in enumerate(params["decoder"]["layers"]):
+        h2, k1, v1 = _ring_self_attn(bp["mha1"], cfg, h, cache, i, wkr_all,
+                                     u, v, blocked)
+        h2 = _cross_attn_step(bp["mha2"], cfg, h2, cross.k[i], cross.v[i],
+                              cross.wkr[i], u, v, cross_mask)
+        h = _ff(bp, cfg, h2)
+        new_k, new_v = _ring_write(cache, new_k, new_v, i, k1, v1)
+
+    logits = head(params, cfg, h)[:, 0]
+    return logits, _ring_advance(cache, new_k, new_v)
+
+
+def lm_step_ring(
+    params, cfg: MultitaskConfig,
+    tok, pos,
+    cache: DecRingCache,
+    wkr_all: jnp.ndarray,
+    pad_idx: int = 1,
+) -> Tuple[jnp.ndarray, DecRingCache]:
+    """Fast `lm_step` (attention-only blocks): same ring machinery, no cross."""
+    dt = cfg.act_dtype
+    M = cache.k.shape[3]
+    h = embed_tokens(params, cfg, tok[:, None], pos[:, None], pad_idx)
+    u, v = params["decoder"]["u"].astype(dt), params["decoder"]["v"].astype(dt)
+    dist = cache.g_cur - cache.g
+    blocked = (dist < 1) | (dist > M)
+    new_k, new_v = cache.k, cache.v
+    for i, bp in enumerate(params["decoder"]["layers"]):
+        h, k1, v1 = _ring_self_attn(bp["mha1"], cfg, h, cache, i, wkr_all,
+                                    u, v, blocked)
+        new_k, new_v = _ring_write(cache, new_k, new_v, i, k1, v1)
+    logits = head(params, cfg, h)[:, 0]
+    return logits, _ring_advance(cache, new_k, new_v)
+
+
+# ---------------------------------------------------------------------------
 # Incremental LM decoding (predict_nw path: decoder without cross/FFN)
 # ---------------------------------------------------------------------------
 

@@ -132,6 +132,74 @@ def test_lm_step_matches_full(small):
                                    atol=1.5e-3, err_msg=f"step {t}")
 
 
+def test_s2s_ring_matches_shift(small):
+    """The ring fast path (cached cross K/V + hoisted wkr + O(1) slot
+    writes) is mathematically identical to the shift-append decoder_step."""
+    cfg, params = small
+    rng = np.random.default_rng(4)
+    B, Le, T = 2, 10, 14
+    enc_x = jnp.asarray(rng.integers(2, cfg.vocab_size, (B, Le)), jnp.int32)
+    enc_pos = jnp.asarray(np.arange(Le)[None].repeat(B, 0), jnp.int32)
+    enc_pad = np.zeros((B, Le), bool)
+    enc_pad[1, -3:] = True                       # ragged source lengths
+    enc_pad = jnp.asarray(enc_pad)
+    targ = rng.integers(2, cfg.vocab_size, (B, T))
+    targ_pos = np.arange(T)[None].repeat(B, 0)
+
+    enc_out = mt.encode(params, cfg, enc_x, enc_pos, pad_cols=enc_pad)
+    W = cfg.ctx_len
+    prefix = 4
+    tb = np.full((B, W), 1, np.int64)
+    tpb = np.zeros((B, W), np.int64)
+    pad = np.ones((B, W), bool)
+    tb[:, W - prefix:] = targ[:, :prefix]
+    tpb[:, W - prefix:] = targ_pos[:, :prefix]
+    pad[:, W - prefix:] = False
+    tb[1, : W - 2] = 1                           # ragged target prefix too
+    pad[1, : W - 2] = True
+    _, cache = mt.decoder_prefill(
+        params, cfg, jnp.asarray(tb, jnp.int32), jnp.asarray(tpb, jnp.int32),
+        jnp.asarray(pad), enc_out, enc_pad=enc_pad)
+    ring = mt.dec_ring_from_prefill(cache)
+    cross = mt.precompute_cross(params, cfg, enc_out)
+    wkr_all = mt.precompute_dec_wkr(params, cfg, cfg.mem_len)
+    for t in range(prefix, T):
+        tok = jnp.asarray(targ[:, t], jnp.int32)
+        pos = jnp.asarray(targ_pos[:, t], jnp.int32)
+        l_shift, cache = mt.decoder_step(params, cfg, tok, pos, cache,
+                                         enc_out, enc_pad=enc_pad)
+        l_ring, ring = mt.decoder_step_ring(params, cfg, tok, pos, ring,
+                                            cross, wkr_all, enc_pad=enc_pad)
+        np.testing.assert_allclose(np.asarray(l_ring), np.asarray(l_shift),
+                                   atol=1e-3, err_msg=f"step {t}")
+
+
+def test_lm_ring_matches_shift(small):
+    cfg, params = small
+    rng = np.random.default_rng(5)
+    B, T = 2, 14
+    x = rng.integers(2, cfg.vocab_size, (B, T))
+    W = cfg.ctx_len
+    prefix = 5
+    xb = np.full((B, W), 1, np.int64)
+    pad = np.ones((B, W), bool)
+    xb[:, W - prefix:] = x[:, :prefix]
+    pad[:, W - prefix:] = False
+    xb[1, : W - 3] = 1
+    pad[1, : W - 3] = True
+    _, cache = mt.lm_prefill(params, cfg, jnp.asarray(xb, jnp.int32),
+                             jnp.zeros((B, W), jnp.int32), jnp.asarray(pad))
+    ring = mt.dec_ring_from_prefill(cache)
+    wkr_all = mt.precompute_dec_wkr(params, cfg, cfg.mem_len)
+    zero = jnp.zeros((B,), jnp.int32)
+    for t in range(prefix, T):
+        tok = jnp.asarray(x[:, t], jnp.int32)
+        l_shift, cache = mt.lm_step(params, cfg, tok, zero, cache)
+        l_ring, ring = mt.lm_step_ring(params, cfg, tok, zero, ring, wkr_all)
+        np.testing.assert_allclose(np.asarray(l_ring), np.asarray(l_shift),
+                                   atol=1e-3, err_msg=f"step {t}")
+
+
 @pytest.fixture(scope="module")
 def seed_idx(vocab):
     rng = np.random.default_rng(0)
