@@ -183,6 +183,49 @@ def _causal_mask(L: int, win_size: int = 1, win_k: int = 1) -> jnp.ndarray:
     return m[None, None]
 
 
+def _flash_ok(cfg: MultitaskConfig, B: int, W: int,
+              flash: Optional[bool]) -> bool:
+    """Auto rule for the VMEM-resident Pallas score path, set by v5e
+    measurement (docs/PERF.md "Multitask flash"): the win grows with batch
+    (B=8: 1.17x, B=32: 1.99x, B=64: 2.46x at W=512, H=8) because the XLA
+    path's rel_shift relayout cost scales with B*H*W^2, while at B=1 the two
+    paths tie (1.03x at W=512, 0.97x at W=1024 — and the W=1024 Mosaic
+    compile takes ~12 min). Auto only where it measured >=1.15x and compiles
+    in ~1.5 min; pass ``flash=True`` to force larger shapes."""
+    if flash is not None:
+        return flash
+    return (jax.default_backend() == "tpu" and cfg.act_dtype == jnp.bfloat16
+            and B >= 8 and W <= 512)
+
+
+def _flash_self_attn(ap, cfg: MultitaskConfig, h, pad_cols, u, v,
+                     causal: bool, kv=None):
+    """One multitask self-attention layer on the Pallas kernel:
+    ln(h + flash_attn(h)) — projections and post-norm outside the kernel,
+    scores/softmax/PV (incl. the exact rel_shift spill) inside. ``kv``
+    passes already-projected (k, v) (the prefill computes them for the
+    cache anyway)."""
+    from ..ops.flash_prefill import flash_encoder_attention
+    B, W, D = h.shape
+    H, Dh = cfg.n_heads, cfg.d_head
+
+    def lin(w, b):
+        y = h @ w.astype(h.dtype)
+        return y + b.astype(h.dtype) if b is not None else y
+
+    q = lin(ap["q_w"], ap["q_b"])
+    k, vv = kv if kv is not None else (lin(ap["k_w"], ap["k_b"]),
+                                       lin(ap["v_w"], ap["v_b"]))
+    wkr = backwards_pos_enc(W, cfg.d_model, dtype=h.dtype) @ ap["r_w"].astype(h.dtype)
+    if ap["r_b"] is not None:
+        wkr = wkr + ap["r_b"].astype(wkr.dtype)
+    pad = (pad_cols if pad_cols is not None
+           else jnp.zeros((B, W), bool))
+    attn = flash_encoder_attention(q, k, vv, wkr, u, v, pad, H,
+                                   scale=cfg.scale, causal=causal)
+    return _layer_norm(h + attn, ap["ln_g"], ap["ln_b"])
+
+
 def stack_forward(
     stack: Dict,
     cfg: MultitaskConfig,
@@ -193,15 +236,26 @@ def stack_forward(
     pad_cols: Optional[jnp.ndarray] = None,  # (B, L) True where padded
     win_size: int = 1,
     win_k: int = 1,
+    flash: Optional[bool] = None,
 ) -> jnp.ndarray:
     """MTEncoder.forward (remix:1985-2003): all blocks share u/v and one r
     table over max(L, Le) + mem_len positions. ``win_size``/``win_k`` select
-    the training-time random window mask (MTTrainer curriculum)."""
+    the training-time random window mask (MTTrainer curriculum). ``flash``
+    routes the bidirectional self-attention through the VMEM-resident Pallas
+    kernel (encoder stacks only — auto on TPU; training/decoder paths keep
+    the XLA path, which the curriculum masks need)."""
     B, L, D = h.shape
     dt = h.dtype
     r_len = max(L, enc_out.shape[1] if enc_out is not None else 0) + cfg.mem_len
     r = backwards_pos_enc(r_len, D, dtype=dt)
     u, v = stack["u"].astype(dt), stack["v"].astype(dt)
+
+    if (not is_decoder and enc_out is None and self_mask is None
+            and _flash_ok(cfg, B, L, flash)):
+        for bp in stack["layers"]:
+            h = _flash_self_attn(bp["mha1"], cfg, h, pad_cols, u, v,
+                                 causal=False)
+        return h
 
     if self_mask is None:
         self_mask = _causal_mask(L, win_size, win_k) if is_decoder else None
@@ -235,10 +289,13 @@ def forward(
 ) -> Dict[str, jnp.ndarray]:
     """Route task dict → logits dict (MultiTransformer.forward)."""
     out = {}
+    # flash=False throughout: `forward` is the TRAINING entry and pallas_call
+    # has no VJP — the Pallas score path is inference-only (encode/prefills)
     if "msk" in inp and inp["msk"] is not None:
         d = inp["msk"]
         h = embed_tokens(params, cfg, d["x"], d.get("pos"), pad_idx)
-        h = stack_forward(params["encoder"], cfg, h, is_decoder=False)
+        h = stack_forward(params["encoder"], cfg, h, is_decoder=False,
+                          flash=False)
         out["msk"] = head(params, cfg, h)
     if "lm" in inp and inp["lm"] is not None:
         d = inp["lm"]
@@ -251,7 +308,7 @@ def forward(
             d = inp[key]
             eh = embed_tokens(params, cfg, d["enc"], d.get("enc_pos"), pad_idx)
             eh = stack_forward(params["encoder"], cfg, eh, is_decoder=False,
-                               pad_cols=d.get("enc_pad"))
+                               pad_cols=d.get("enc_pad"), flash=False)
             dh = embed_tokens(params, cfg, d["dec"], d.get("dec_pos"), pad_idx)
             dh = stack_forward(params["decoder"], cfg, dh, is_decoder=True,
                                enc_out=eh, pad_cols=d.get("dec_pad"),
@@ -277,10 +334,11 @@ def init_dec_cache(cfg: MultitaskConfig, batch: int, mem_len: Optional[int] = No
                       jnp.zeros((batch,), jnp.int32))
 
 
-def encode(params, cfg: MultitaskConfig, x, pos, pad_cols=None, pad_idx: int = 1):
+def encode(params, cfg: MultitaskConfig, x, pos, pad_cols=None, pad_idx: int = 1,
+           flash: Optional[bool] = None):
     h = embed_tokens(params, cfg, x, pos, pad_idx)
     return stack_forward(params["encoder"], cfg, h, is_decoder=False,
-                         pad_cols=pad_cols)
+                         pad_cols=pad_cols, flash=flash)
 
 
 def decoder_prefill(
@@ -291,11 +349,14 @@ def decoder_prefill(
     enc_pad=None,
     mem_len: Optional[int] = None,
     pad_idx: int = 1,
+    flash: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, DecKVCache]:
     """Run the decoder over the target prefix, building the self-attn cache.
 
     The cache stores mha1 K/V of each layer's *input* sequence — identical to
     the reference's ``mem_k``/``mem_v`` raw-input memory after projection.
+    Self-attention optionally runs the causal Pallas kernel (cross-attention
+    and FFN stay on XLA).
     """
     B, W = x.shape
     dt = cfg.act_dtype
@@ -305,16 +366,30 @@ def decoder_prefill(
     Le = enc_out.shape[1]
     r = backwards_pos_enc(max(W, Le) + cfg.mem_len, cfg.d_model, dtype=dt)
     u, v = params["decoder"]["u"].astype(dt), params["decoder"]["v"].astype(dt)
-    mask = _causal_mask(W) | pad_mask[:, None, None, :]
+    use_flash = _flash_ok(cfg, B, W, flash)
+    if not use_flash:
+        mask = _causal_mask(W) | pad_mask[:, None, None, :]
     cross_mask = enc_pad[:, None, None, :] if enc_pad is not None else None
 
     ks, vs = [], []
     for bp in params["decoder"]["layers"]:
-        k = _proj(h, bp["mha1"]["k_w"], bp["mha1"]["k_b"], H, Dh).transpose(0, 2, 1, 3)
-        vv = _proj(h, bp["mha1"]["v_w"], bp["mha1"]["v_b"], H, Dh).transpose(0, 2, 1, 3)
-        ks.append(k[:, -M:])
-        vs.append(vv[:, -M:])
-        h = _attn_apply(bp["mha1"], cfg, h, h, r, u, v, mask, r_mask=False)
+        if use_flash:
+            ap = bp["mha1"]
+            kf = h @ ap["k_w"].astype(dt)
+            vf = h @ ap["v_w"].astype(dt)
+            if ap["k_b"] is not None:
+                kf = kf + ap["k_b"].astype(dt)
+                vf = vf + ap["v_b"].astype(dt)
+            ks.append(kf.reshape(B, W, H, Dh)[:, -M:])
+            vs.append(vf.reshape(B, W, H, Dh)[:, -M:])
+            h = _flash_self_attn(ap, cfg, h, pad_mask, u, v, causal=True,
+                                 kv=(kf, vf))
+        else:
+            k = _proj(h, bp["mha1"]["k_w"], bp["mha1"]["k_b"], H, Dh).transpose(0, 2, 1, 3)
+            vv = _proj(h, bp["mha1"]["v_w"], bp["mha1"]["v_b"], H, Dh).transpose(0, 2, 1, 3)
+            ks.append(k[:, -M:])
+            vs.append(vv[:, -M:])
+            h = _attn_apply(bp["mha1"], cfg, h, h, r, u, v, mask, r_mask=False)
         h = _attn_apply(bp["mha2"], cfg, h, enc_out, r, u, v, cross_mask, r_mask=True)
         h = _ff(bp, cfg, h)
 
@@ -594,7 +669,8 @@ def lm_step_ring(
 # ---------------------------------------------------------------------------
 
 def lm_prefill(params, cfg: MultitaskConfig, x, pos, pad_mask,
-               mem_len: Optional[int] = None, pad_idx: int = 1
+               mem_len: Optional[int] = None, pad_idx: int = 1,
+               flash: Optional[bool] = None
                ) -> Tuple[jnp.ndarray, DecKVCache]:
     """Decoder-only prefill for the 'lm' task (attention-only blocks)."""
     B, W = x.shape
@@ -604,10 +680,23 @@ def lm_prefill(params, cfg: MultitaskConfig, x, pos, pad_mask,
     h = embed_tokens(params, cfg, x, pos, pad_idx)
     r = backwards_pos_enc(W + cfg.mem_len, cfg.d_model, dtype=dt)
     u, v = params["decoder"]["u"].astype(dt), params["decoder"]["v"].astype(dt)
-    mask = _causal_mask(W) | pad_mask[:, None, None, :]
+    use_flash = _flash_ok(cfg, B, W, flash)
+    if not use_flash:
+        mask = _causal_mask(W) | pad_mask[:, None, None, :]
     ks, vs = [], []
     for bp in params["decoder"]["layers"]:
         ap = bp["mha1"]
+        if use_flash:
+            kf = h @ ap["k_w"].astype(dt)
+            vf = h @ ap["v_w"].astype(dt)
+            if ap["k_b"] is not None:
+                kf = kf + ap["k_b"].astype(dt)
+                vf = vf + ap["v_b"].astype(dt)
+            ks.append(kf.reshape(B, W, H, Dh)[:, -M:])
+            vs.append(vf.reshape(B, W, H, Dh)[:, -M:])
+            h = _flash_self_attn(ap, cfg, h, pad_mask, u, v, causal=True,
+                                 kv=(kf, vf))
+            continue
         k = _proj(h, ap["k_w"], ap["k_b"], H, Dh).transpose(0, 2, 1, 3)
         vv = _proj(h, ap["v_w"], ap["v_b"], H, Dh).transpose(0, 2, 1, 3)
         ks.append(k[:, -M:])

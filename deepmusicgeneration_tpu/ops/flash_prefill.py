@@ -79,6 +79,118 @@ def _make_kernel(W: int, H: int, Dh: int, scale: bool):
     return kernel
 
 
+def _make_encoder_kernel(W: int, H: int, Dh: int, scale: bool):
+    """Bidirectional variant: no causal mask, and the `rel_shift` spill is
+    reproduced EXACTLY (the reference's bidirectional encoder reads the
+    cross-row spill values — deep_music_remix.py:2095-2097 — so for j > i the
+    BD term comes from query row i+1's products):
+
+        rel_shift(x)[i, j] = x[i, j + (W-1-i)]   for j <= i      (real scores)
+                           = 0                   for j == i+1    (the pad zero)
+                           = x[i+1, j-i-2]       for j >= i+2    (spill)
+
+    Row-circular rolls express all three: r1 = roll(x, 1+i) covers j <= i,
+    r2 = roll(rows-shifted-up(x), 2+i) covers j >= i+2, each ONE strided
+    rotate on TPU."""
+    sc = 1.0 / math.sqrt(Dh) if scale else 1.0
+
+    def kernel(q_ref, k_ref, v_ref, wkr_ref, u_ref, vb_ref, pad_ref, o_ref,
+               sc_scr):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+        keypad = pad_ref[0, 0, :] != 0                     # (W,) int32 input
+        blocked = jnp.broadcast_to(keypad[None, :], (W, W))
+
+        for h in range(H):
+            sl = pl.ds(h * Dh, Dh)
+            qh = q_ref[0, :, sl].astype(jnp.float32)
+            kh = k_ref[0, :, sl]
+            wh = wkr_ref[0, :, sl]
+            qu = (qh + u_ref[0, 0:1, sl].astype(jnp.float32)).astype(kh.dtype)
+            qv = (qh + vb_ref[0, 0:1, sl].astype(jnp.float32)).astype(kh.dtype)
+            ac = jax.lax.dot_general(
+                qu, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            bd = jax.lax.dot_general(                      # f32: tpu rotate
+                qv, wh, (((1,), (1,)), ((), ())),          # is 32-bit only
+                preferred_element_type=jnp.float32)
+            r1 = pltpu.roll(bd, 1, 1, stride=1, stride_axis=0)   # roll 1+i
+            bd_up = pltpu.roll(bd, W - 1, 0)               # row i ← row i+1
+            # roll 2+i as (constant 1) ∘ (strided 1+i): Mosaic rejects a
+            # strided rotate whose base shift is 2 (vreg max shift 129 > 128)
+            r2 = pltpu.roll(pltpu.roll(bd_up, 1, 1), 1, 1,
+                            stride=1, stride_axis=0)
+            shifted = jnp.where(cols <= rows, r1,
+                                jnp.where(cols == rows + 1, 0.0, r2))
+            score = (ac + shifted) * sc
+            score = jnp.where(blocked, NEG_INF, score)
+            m = jnp.max(score, axis=1, keepdims=True)
+            e = jnp.exp(score - m)
+            denom = jnp.sum(e, axis=1, keepdims=True)
+            prob = (e / denom).astype(kh.dtype)
+            vh = v_ref[0, :, sl]
+            pv = jax.lax.dot_general(
+                prob, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sc_scr[:, sl] = pv
+
+        o_ref[0, :, :] = sc_scr[:, :].astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "n_heads", "causal",
+                                             "interpret"))
+def flash_encoder_attention(
+    q: jnp.ndarray,          # (B, W, HD) bf16
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    wkr: jnp.ndarray,        # (W, HD) bf16
+    u_bias: jnp.ndarray,     # (H, Dh) or (H, 1, Dh)
+    v_bias: jnp.ndarray,
+    pad_mask: jnp.ndarray,   # (B, W) bool, True = pad (key blocked)
+    n_heads: int,
+    scale: bool = True,
+    causal: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """VMEM-resident `_attn_apply` score path (multitask stacks): AC + exact
+    rel_shift BD (spill included), pad-key masking, softmax, PV. With
+    ``causal=True`` this is the decoder-prefill self-attention instead
+    (identical to :func:`flash_prefill_attention`, whose masking already
+    matches the multitask causal mask)."""
+    B, W, HD = q.shape
+    H = n_heads
+    Dh = HD // H
+    kernel = (_make_kernel(W, H, Dh, scale) if causal
+              else _make_encoder_kernel(W, H, Dh, scale))
+    u2 = u_bias.reshape(1, H * Dh)[None]
+    v2 = v_bias.reshape(1, H * Dh)[None]
+    wkr3 = wkr[None]
+    padi = pad_mask.astype(jnp.int32)[:, None, :]
+
+    row = lambda shape: pl.BlockSpec((1, *shape), lambda b: (b, *([0] * len(shape))),
+                                     memory_space=pltpu.VMEM)
+    shared = lambda shape: pl.BlockSpec((1, *shape), lambda b: (0, *([0] * len(shape))),
+                                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            row((W, HD)), row((W, HD)), row((W, HD)),
+            shared((W, HD)), shared((1, HD)), shared((1, HD)),
+            pl.BlockSpec((1, 1, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=row((W, HD)),
+        out_shape=jax.ShapeDtypeStruct((B, W, HD), q.dtype),
+        scratch_shapes=[pltpu.VMEM((W, HD), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(q, k, v, wkr3, u2, v2, padi)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "n_heads", "interpret"))
 def flash_prefill_attention(
     q: jnp.ndarray,          # (B, W, HD) bf16 — pre-projection per head

@@ -200,6 +200,89 @@ def test_lm_ring_matches_shift(small):
                                    atol=1e-3, err_msg=f"step {t}")
 
 
+def _interp_flash():
+    """Patch context: run the Pallas flash kernel in interpret mode (CPU)."""
+    from unittest import mock
+    from deepmusicgeneration_tpu.ops import flash_prefill
+    orig = flash_prefill.flash_encoder_attention
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    return mock.patch.object(flash_prefill, "flash_encoder_attention", interp)
+
+
+def test_flash_encoder_matches_xla(small):
+    """The bidirectional flash kernel reproduces the XLA `_attn_apply` path
+    bit-near — INCLUDING the rel_shift cross-row spill the reference's
+    bidirectional encoder reads (deep_music_remix.py:2095-2097)."""
+    cfg, params = small
+    rng = np.random.default_rng(6)
+    B, W = 2, 64
+    x = jnp.asarray(rng.integers(2, cfg.vocab_size, (B, W)), jnp.int32)
+    pos = jnp.asarray(rng.integers(0, 60, (B, W)), jnp.int32)
+    pad = np.zeros((B, W), bool)
+    pad[1, -9:] = True
+    pad = jnp.asarray(pad)
+    ref = mt.encode(params, cfg, x, pos, pad_cols=pad)
+    with _interp_flash():
+        got = mt.encode(params, cfg, x, pos, pad_cols=pad, flash=True)
+    np.testing.assert_allclose(np.asarray(got.astype(jnp.float32)),
+                               np.asarray(ref.astype(jnp.float32)),
+                               atol=0.05, rtol=0.05)
+
+
+def test_flash_decoder_prefill_matches_xla(small):
+    cfg, params = small
+    rng = np.random.default_rng(7)
+    B, Le, W = 2, 24, 64
+    enc_x = jnp.asarray(rng.integers(2, cfg.vocab_size, (B, Le)), jnp.int32)
+    enc_pos = jnp.asarray(np.arange(Le)[None].repeat(B, 0), jnp.int32)
+    enc_out = mt.encode(params, cfg, enc_x, enc_pos)
+    x = np.full((B, W), 1, np.int64)
+    pos = np.zeros((B, W), np.int64)
+    pad = np.ones((B, W), bool)
+    n = 20
+    x[:, W - n:] = rng.integers(2, cfg.vocab_size, (B, n))
+    pos[:, W - n:] = np.arange(n)[None]
+    pad[:, W - n:] = False
+    args = (jnp.asarray(x, jnp.int32), jnp.asarray(pos, jnp.int32),
+            jnp.asarray(pad), enc_out)
+    ref_logits, ref_cache = mt.decoder_prefill(params, cfg, *args, flash=False)
+    with _interp_flash():
+        got_logits, got_cache = mt.decoder_prefill(params, cfg, *args, flash=True)
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               atol=0.15, rtol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(got_cache.k.astype(jnp.float32)),
+        np.asarray(ref_cache.k.astype(jnp.float32)), atol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(got_cache.v.astype(jnp.float32)),
+        np.asarray(ref_cache.v.astype(jnp.float32)), atol=0.05)
+
+
+def test_flash_lm_prefill_matches_xla(small):
+    cfg, params = small
+    rng = np.random.default_rng(8)
+    B, W = 2, 64
+    x = np.full((B, W), 1, np.int64)
+    pad = np.ones((B, W), bool)
+    n = 23
+    x[:, W - n:] = rng.integers(2, cfg.vocab_size, (B, n))
+    pad[:, W - n:] = False
+    args = (jnp.asarray(x, jnp.int32), jnp.zeros((B, W), jnp.int32),
+            jnp.asarray(pad))
+    ref_logits, ref_cache = mt.lm_prefill(params, cfg, *args, flash=False)
+    with _interp_flash():
+        got_logits, got_cache = mt.lm_prefill(params, cfg, *args, flash=True)
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               atol=0.15, rtol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(got_cache.k.astype(jnp.float32)),
+        np.asarray(ref_cache.k.astype(jnp.float32)), atol=0.05)
+
+
 @pytest.fixture(scope="module")
 def seed_idx(vocab):
     rng = np.random.default_rng(0)
