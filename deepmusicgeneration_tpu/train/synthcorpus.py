@@ -14,6 +14,14 @@ files are bit-compatible with the MIDI preprocessing cache
 (`train/preprocess.py::process_file`): the instrument column holds ACCEP_INS
 class ids and genre comes from the parent directory name, exactly like the
 reference's OpenNPFileProcessor (deep_music_genre.py:982-986).
+
+Round 3 hardened the process (the v2 corpus): songs draw 2-4 distinct
+phrases arranged by a small form grammar over 2-4 sections (32-160 bars),
+sections modulate key (+2/-2/+5 semitones), half the songs carry a fourth
+part (counter-melody in its own instrument class), each phrase picks its own
+chord progression, and rests/anticipations vary per phrase — so low held-out
+perplexity requires tracking key, form, and multi-part texture rather than
+memorising one 4-bar loop.
 """
 
 from __future__ import annotations
@@ -43,42 +51,50 @@ PIANO, GUITAR, BASS, WOODWIND, BRASS, STRING, MISC = range(N_INS)
 GENRE_STYLES: Dict[str, dict] = {
     "electronic": dict(
         scales=[MINOR], melody_ins=PIANO, comp_ins=PIANO, bass_ins=BASS,
-        progressions=[[0, 5, 3, 4], [0, 3, 5, 4], [5, 3, 0, 4]],
-        melody_durs=[(2, 0.55), (4, 0.35), (8, 0.10)],
+        counter_ins=STRING,
+        progressions=[[0, 5, 3, 4], [0, 3, 5, 4], [5, 3, 0, 4],
+                      [0, 5, 1, 4], [0, 2, 3, 4, 0, 2, 5, 4]],
+        melody_durs=[(2, 0.50), (4, 0.30), (3, 0.10), (8, 0.10)],
         comp="arp", bass="eighths", seventh=False, tempo_bias=0,
     ),
     "folk": dict(
         scales=[MAJOR, MIXOLYDIAN], melody_ins=STRING, comp_ins=GUITAR,
-        bass_ins=BASS,
-        progressions=[[0, 3, 4, 0], [0, 4, 5, 3], [0, 0, 3, 4]],
-        melody_durs=[(4, 0.45), (8, 0.35), (2, 0.10), (12, 0.10)],
+        bass_ins=BASS, counter_ins=WOODWIND,
+        progressions=[[0, 3, 4, 0], [0, 4, 5, 3], [0, 0, 3, 4],
+                      [0, 3, 0, 4], [0, 4, 0, 3, 5, 3, 4, 0]],
+        melody_durs=[(4, 0.40), (8, 0.30), (2, 0.10), (6, 0.10), (12, 0.10)],
         comp="strum", bass="roots", seventh=False, tempo_bias=1,
     ),
     "funk": dict(
         scales=[DORIAN, MIXOLYDIAN], melody_ins=BRASS, comp_ins=GUITAR,
-        bass_ins=BASS,
-        progressions=[[0, 0, 3, 3], [0, 3, 0, 4], [0, 0, 0, 0]],
-        melody_durs=[(2, 0.45), (1, 0.20), (4, 0.25), (6, 0.10)],
+        bass_ins=BASS, counter_ins=WOODWIND,
+        progressions=[[0, 0, 3, 3], [0, 3, 0, 4], [0, 0, 0, 0],
+                      [0, 3, 4, 3], [0, 0, 3, 3, 0, 0, 4, 3]],
+        melody_durs=[(2, 0.40), (1, 0.20), (3, 0.15), (4, 0.15), (6, 0.10)],
         comp="stabs", bass="sixteenth_syncopated", seventh=True, tempo_bias=0,
     ),
     "jazz": dict(
         scales=[MAJOR, DORIAN], melody_ins=WOODWIND, comp_ins=PIANO,
-        bass_ins=BASS,
-        progressions=[[1, 4, 0, 0], [1, 4, 0, 5], [0, 5, 1, 4]],
-        melody_durs=[(2, 0.35), (4, 0.30), (6, 0.20), (8, 0.15)],
+        bass_ins=BASS, counter_ins=BRASS,
+        progressions=[[1, 4, 0, 0], [1, 4, 0, 5], [0, 5, 1, 4],
+                      [2, 5, 1, 4], [0, 0, 3, 3, 1, 4, 0, 4]],
+        melody_durs=[(2, 0.30), (4, 0.25), (3, 0.15), (6, 0.15), (8, 0.15)],
         comp="shell", bass="walking", seventh=True, tempo_bias=0,
     ),
     "pop": dict(
         scales=[MAJOR], melody_ins=PIANO, comp_ins=PIANO, bass_ins=BASS,
-        progressions=[[0, 4, 5, 3], [0, 5, 3, 4], [3, 0, 4, 5]],
-        melody_durs=[(4, 0.45), (2, 0.30), (8, 0.20), (12, 0.05)],
+        counter_ins=STRING,
+        progressions=[[0, 4, 5, 3], [0, 5, 3, 4], [3, 0, 4, 5],
+                      [0, 3, 4, 4], [0, 4, 5, 3, 0, 4, 1, 4]],
+        melody_durs=[(4, 0.40), (2, 0.25), (8, 0.20), (6, 0.10), (12, 0.05)],
         comp="block", bass="roots_fifths", seventh=False, tempo_bias=0,
     ),
     "rock": dict(
         scales=[MINOR, MIXOLYDIAN], melody_ins=GUITAR, comp_ins=GUITAR,
-        bass_ins=BASS,
-        progressions=[[0, 6, 3, 4], [0, 3, 4, 4], [0, 5, 6, 4]],
-        melody_durs=[(2, 0.40), (4, 0.40), (8, 0.20)],
+        bass_ins=BASS, counter_ins=STRING,
+        progressions=[[0, 6, 3, 4], [0, 3, 4, 4], [0, 5, 6, 4],
+                      [0, 6, 5, 4], [0, 0, 6, 6, 3, 3, 4, 4]],
+        melody_durs=[(2, 0.40), (4, 0.35), (3, 0.10), (8, 0.15)],
         comp="power", bass="eighths", seventh=False, tempo_bias=-1,
     ),
 }
@@ -99,13 +115,16 @@ def _chord_tones(scale, root, degree, seventh: bool) -> List[int]:
     return tones
 
 
-def _melody_phrase(rng, scale, root, chords, n_bars, durs, lift: int = 0) -> List[Note]:
+def _melody_phrase(rng, scale, root, chords, n_bars, durs, lift: int = 0,
+                   rest_p: float = 0.12) -> List[Note]:
     """Random-walk melody over the scale; chord tones favoured on strong beats.
 
     ``lift`` raises the register (in scale degrees) — used when melody and
     accompaniment share an instrument class, so their pitch ranges never
     overlap (same-pitch overlaps within one part are ambiguous in the
-    piano-roll representation, as in the reference codec).
+    piano-roll representation, as in the reference codec). ``rest_p`` is the
+    per-slot rest probability (varies per phrase in the v2 corpus, so phrase
+    density is itself a learnable trait).
     """
     dur_vals = np.array([d for d, _ in durs])
     dur_p = np.array([w for _, w in durs], dtype=float)
@@ -128,11 +147,20 @@ def _melody_phrase(rng, scale, root, chords, n_bars, durs, lift: int = 0) -> Lis
         else:
             deg += int(rng.integers(-2, 3))
         deg = int(np.clip(deg, 5 + lift, min(20 + lift, 24)))
-        if rng.random() > 0.12:  # 12% rests
+        if rng.random() > rest_p:
             pitch = _degree_pitch(scale, root, deg)
             notes.append((int(np.clip(pitch, 24, 102)), step, dur))
         step += dur
     return notes
+
+
+def _counter_phrase(rng, scale, root, chords, n_bars, durs) -> List[Note]:
+    """Counter-melody: the melody walk, an octave down, at half density
+    (doubled durations, more rests) — a fourth voice that answers rather
+    than doubles the lead."""
+    slow = [(min(d * 2, 16), w) for d, w in durs]
+    return _melody_phrase(rng, scale, root, chords, n_bars, slow,
+                          lift=-5, rest_p=0.3)
 
 
 def _comp_phrase(rng, scale, root, chords, n_bars, mode, seventh) -> List[Note]:
@@ -201,38 +229,77 @@ def _bass_phrase(rng, scale, root, chords, n_bars, mode) -> List[Note]:
 
 
 def generate_song(genre: str, seed: int) -> np.ndarray:
-    """One synthetic song → npenc (instrument column = ACCEP_INS class ids)."""
+    """One synthetic song → npenc (instrument column = ACCEP_INS class ids).
+
+    v2 generative process: 2-4 distinct phrases (each with its own chord
+    progression, length and rest density), arranged by a per-section form
+    grammar over 2-4 sections plus an optional reprise (32-160 bars total).
+    Each section after the first may modulate the key (+2/-2/+5 semitones) —
+    the SAME phrase seed then reappears transposed, so the model must track
+    the current key rather than memorise absolute pitches. Half the songs
+    carry a fourth part (counter-melody in its own instrument class).
+    """
     style = GENRE_STYLES[genre]
     rng = np.random.default_rng(seed)
     scale = style["scales"][int(rng.integers(len(style["scales"])))]
     root = int(rng.integers(45, 57))  # key center A2..G#3
-    prog = list(style["progressions"][int(rng.integers(len(style["progressions"])))])
 
-    # AABA-style form out of two 4-bar phrases → repetition to learn
-    phrase_bars = 4
-    form = [0, 0, 1, 0] if rng.random() < 0.6 else [0, 1, 0, 1]
-    n_sections = int(rng.integers(1, 3))  # 16 or 32 bars
-    phrase_seeds = rng.integers(0, 2**31, size=2)
+    progs = style["progressions"]
+    n_phrases = int(rng.integers(2, 5))
+    phrases = []
+    for _ in range(n_phrases):
+        prog = list(progs[int(rng.integers(len(progs)))])
+        phrases.append(dict(
+            seed=int(rng.integers(0, 2**31)),
+            prog=prog,
+            bars=4 if len(prog) <= 4 else 8,   # 8-chord loops span 8 bars
+            rest_p=float(rng.uniform(0.05, 0.25)),
+        ))
+
+    # Form grammar: each section arranges 4 phrase slots (AABA-biased) and
+    # carries its own key offset; the song is the section list, with the
+    # opening section reprised half the time.
+    n_sections = int(rng.integers(2, 5))
+    sections = []
+    for s in range(n_sections):
+        ids = rng.integers(0, n_phrases, size=4).tolist()
+        if rng.random() < 0.6:
+            a, b = ids[0], ids[1]
+            ids = [a, a, b, a]
+        offset = 0 if s == 0 else int(rng.choice([0, 2, -2, 5]))
+        sections.append((ids, offset))
+    order = list(range(n_sections))
+    if rng.random() < 0.5:
+        order.append(0)  # reprise
+    has_counter = rng.random() < 0.5
 
     parts: Dict[int, List[Note]] = {}
     bar0 = 0
-    for _ in range(n_sections):
-        for ph in form:
-            prng = np.random.default_rng(int(phrase_seeds[ph]))
+    for sec_i in order:
+        ids, offset = sections[sec_i]
+        sroot = int(np.clip(root + offset, 40, 62))
+        for ph in ids:
+            P = phrases[ph]
+            prng = np.random.default_rng(P["seed"])
             lift = 7 if style["melody_ins"] == style["comp_ins"] else 0
-            mel = _melody_phrase(prng, scale, root, prog, phrase_bars,
-                                 style["melody_durs"], lift=lift)
-            comp = _comp_phrase(prng, scale, root, prog, phrase_bars,
+            mel = _melody_phrase(prng, scale, sroot, P["prog"], P["bars"],
+                                 style["melody_durs"], lift=lift,
+                                 rest_p=P["rest_p"])
+            comp = _comp_phrase(prng, scale, sroot, P["prog"], P["bars"],
                                 style["comp"], style["seventh"])
-            bass = _bass_phrase(prng, scale, root, prog, phrase_bars,
+            bass = _bass_phrase(prng, scale, sroot, P["prog"], P["bars"],
                                 style["bass"])
+            emit = [(style["melody_ins"], mel), (style["comp_ins"], comp),
+                    (style["bass_ins"], bass)]
+            if has_counter:
+                ctr = _counter_phrase(prng, scale, sroot, P["prog"],
+                                      P["bars"], style["melody_durs"])
+                emit.append((style["counter_ins"], ctr))
             shift = bar0 * STEPS_PER_BAR
-            for cls, ph_notes in ((style["melody_ins"], mel),
-                                  (style["comp_ins"], comp),
-                                  (style["bass_ins"], bass)):
+            for cls, ph_notes in emit:
                 parts.setdefault(cls, []).extend(
                     (p, off + shift, d) for p, off, d in ph_notes)
-            bar0 += phrase_bars
+            bar0 += P["bars"]
 
     part_notes = []
     for cls in range(N_INS):
@@ -269,7 +336,9 @@ def make_corpus(out_dir, songs_per_genre: int = 80, val_per_genre: int = 10,
             for i in range(n):
                 seed = base_seed + g_i * 10_000 + seed0 + i
                 npenc = generate_song(genre, seed)
-                np.save(d / f"synth_{seed:07d}.npy", npenc)
+                # int16 keeps the committed corpus ~4× smaller; every reader
+                # (npenc2idxenc, loaders) promotes to int64 on load
+                np.save(d / f"synth_{seed:07d}.npy", npenc.astype(np.int16))
                 counts[split] += 1
         if verbose:
             print(f"{genre}: {songs_per_genre} train + {val_per_genre} valid")

@@ -29,8 +29,8 @@ FIXTURE_GENRES = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
-    ap.add_argument("--songs-per-genre", type=int, default=120)
-    ap.add_argument("--val-per-genre", type=int, default=15)
+    ap.add_argument("--songs-per-genre", type=int, default=500)
+    ap.add_argument("--val-per-genre", type=int, default=50)
     ap.add_argument("--fixtures", default="/root/reference")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
