@@ -190,9 +190,14 @@ def roofline(cfg, B: int, M: int, kv_bits: int, tok_per_sec: float,
 
 
 def _kernel_traffic_args(kernel):
-    kv_bits = 16 if kernel in ("multirow", None) else 8
+    if kernel in ("multirow", None):
+        kv_bits = 16
+    elif (kernel or "").startswith("slab4"):
+        kv_bits = 4
+    else:
+        kv_bits = 8
     mode = "slab" if (kernel or "").startswith("slab") else "pingpong"
-    w_bits = 8 if kernel == "slab_w8" else 16
+    w_bits = 8 if kernel in ("slab_w8", "slab4_w8") else 16
     return kv_bits, mode, w_bits
 
 
@@ -206,19 +211,25 @@ def run_batched_bench(engine, cfg, vocab, sweep: bool):
                         "/root/reference/Undertale_-_Megalovania.mid"] * (batch // 2)]
     tok_time = time.time() - t0
     bank("tokenize", midi_files_encoded_per_sec=round(batch / tok_time, 2))
-    kernels = (("multirow", "multirow_int8", "slab", "slab_int8", "slab_w8")
-               if sweep else (None,))          # None → engine auto-select (slab)
+    # (kernel, rows_per_cell): int4-packed KV halves per-cell DMA, which is
+    # what makes 16/32-row cells worth sweeping (docs/PERF.md)
+    kernels = ((("multirow", None), ("multirow_int8", None), ("slab", None),
+                ("slab_int8", None), ("slab_w8", None),
+                ("slab4", 8), ("slab4", 16), ("slab4", 32))
+               if sweep else ((None, None),))  # None → engine auto-select
     by_kernel, rf_by_kernel = {}, {}
-    for kernel in kernels:
+    for kernel, rpc in kernels:
         if budget_left() < 60:
             log(f"skipping batched kernel {kernel}: budget low")
             break
         try:
             engine.generate_batch(seeds, n_words=n_words, min_bars=1_000_000,
-                                  seed=0, decode_kernel=kernel)
+                                  seed=0, decode_kernel=kernel,
+                                  rows_per_cell=rpc)
             t0 = time.time()
             engine.generate_batch(seeds, n_words=n_words, min_bars=1_000_000,
-                                  seed=1, decode_kernel=kernel)
+                                  seed=1, decode_kernel=kernel,
+                                  rows_per_cell=rpc)
             dt = time.time() - t0
         except Exception as e:
             log(f"batched decode kernel {kernel} failed: {e}")
@@ -226,7 +237,7 @@ def run_batched_bench(engine, cfg, vocab, sweep: bool):
         tps = batch * n_words / dt
         kv_bits, mode, w_bits = _kernel_traffic_args(kernel)
         rf = roofline(cfg, batch, cfg.mem_len, kv_bits, tps, mode, w_bits)
-        name = kernel or "auto"
+        name = (kernel or "auto") + (f"_r{rpc}" if rpc else "")
         by_kernel[name] = round(tps, 1)
         rf_by_kernel[name] = rf
         log(f"batched decode [{name}]: B={batch} × {n_words} tokens in "

@@ -55,6 +55,7 @@ class SamplerSettings:
     slab: bool = False         # slot-major int8 cache + 32-slot slab writes
     score_mode: str = "bf16"   # slab kernel score path: 'bf16' | 'int8'
     weights_int8: bool = False # int8 weights, upcast once/layer in VMEM
+    kv_int4: bool = False      # slab cache packed 2 slots/byte (int4 nibbles)
     flash_prefill: Optional[bool] = None  # None=auto; forced False under a
                                # mesh (the pallas prefill has no SPMD rule)
 
@@ -235,11 +236,16 @@ def generate_compiled(
         head_b = params.get("head_b")
 
         if settings.slab:
-            # slot-major int8 caches + slab writes (fused_slab_core)
-            from ..ops.fused_decode import fused_slab_core, quantize_kv_slot_major
+            # slot-major int8 caches + slab writes (fused_slab_core); int4
+            # packs two slots per byte (halved KV DMA)
+            from ..ops.fused_decode import (fused_slab_core,
+                                            quantize_kv_slot_major,
+                                            quantize_kv_slot_major_int4)
             kt_s = ring.k.transpose(0, 1, 3, 2, 4).reshape(L, B, M, HD)
             vc_s = ring.v.transpose(0, 1, 3, 2, 4).reshape(L, B, M, HD)
-            kq, ksc, vq, vsc = quantize_kv_slot_major(kt_s, vc_s)
+            quantizer = (quantize_kv_slot_major_int4 if settings.kv_int4
+                         else quantize_kv_slot_major)
+            kq, ksc, vq, vsc = quantizer(kt_s, vc_s)
             wkr_mt = txl.precompute_wkr(params, cfg, M) \
                 .transpose(0, 2, 1, 3).reshape(L, M + 1, HD)
             w_scales = None
@@ -252,7 +258,8 @@ def generate_compiled(
                     stacked, cfg, embed32[idx], wkr_mt, kq, ksc, vq, vsc,
                     blocked, ptr, M, rows_per_cell=settings.rows_per_cell,
                     score_mode=settings.score_mode,
-                    weights_int8=settings.weights_int8, w_scales=w_scales)
+                    weights_int8=settings.weights_int8, w_scales=w_scales,
+                    kv_int4=settings.kv_int4)
                 return (kq, ksc, vq, vsc), h_out
 
             kv0 = (kq, ksc, vq, vsc)
@@ -376,7 +383,10 @@ class GenerationEngine:
     # int8 KV kernels tile the cache in 32-slot sublane bands (slab writes /
     # quantized reads), so they need 32-aligned memory; the bf16 'multirow'
     # ping-pong rewrite has no such requirement.
-    _ALIGNED_KERNELS = ("slab", "slab_int8", "slab_w8", "multirow_int8")
+    _ALIGNED_KERNELS = ("slab", "slab_int8", "slab_w8", "multirow_int8",
+                        "slab4", "slab4_w8")
+    # int4 packs slot PAIRS (m, m+M/2) per byte in 32-row tiles → M % 64
+    _INT4_KERNELS = ("slab4", "slab4_w8")
 
     def _fused_ok(self, mem_len: int, kernel: Optional[str] = None) -> bool:
         """The fused Pallas decode kernels apply when: TPU backend, bf16
@@ -391,6 +401,8 @@ class GenerationEngine:
                 and self.cfg.dtype == "bfloat16"
                 and not self.cfg.bias
                 and not self.cfg.encode_position)
+        if kernel in self._INT4_KERNELS:
+            return base and mem_len % 64 == 0
         if kernel is None or kernel in self._ALIGNED_KERNELS:
             return base and mem_len % 32 == 0
         return base
@@ -483,9 +495,12 @@ class GenerationEngine:
         explicit values: 'xla' (lax ring step), 'multirow' (bf16 Pallas),
         'multirow_int8', 'slab' (slot-major int8 + slab writes, bf16 scores),
         'slab_int8' (int8 MXU scores too), 'slab_w8' (slab + int8 weights
-        upcast once per layer in VMEM). ``rows_per_cell``: batch rows per
-        fused-kernel grid cell (default 8; larger cells amortize MXU
-        weight-tile loads over more rows at higher VMEM cost)."""
+        upcast once per layer in VMEM), 'slab4' / 'slab4_w8' (slab with the
+        KV cache packed two slots per byte — int4 nibbles + per-slot fp32
+        scales; halves the dominant KV HBM read, needs mem_len % 64 == 0).
+        ``rows_per_cell``: batch rows per fused-kernel grid cell (default 8;
+        larger cells amortize MXU weight-tile loads over more rows at higher
+        VMEM cost — int4's halved per-cell DMA is what makes 16 viable)."""
         from ..codec.index import position_enc
 
         B = len(seeds)
@@ -543,9 +558,11 @@ class GenerationEngine:
             kv_int8=kv_int8 or decode_kernel in ("multirow_int8",),
             fused=decode_kernel != "xla",
             rows_per_cell=rpc,
-            slab=decode_kernel in ("slab", "slab_int8", "slab_w8"),
+            slab=decode_kernel in ("slab", "slab_int8", "slab_w8",
+                                   "slab4", "slab4_w8"),
             score_mode="int8" if decode_kernel == "slab_int8" else "bf16",
-            weights_int8=decode_kernel == "slab_w8",
+            weights_int8=decode_kernel in ("slab_w8", "slab4_w8"),
+            kv_int4=decode_kernel in self._INT4_KERNELS,
             # the pallas prefill kernel has no SPMD partitioning rule: keep
             # dp-sharded serving on the XLA prefill path
             flash_prefill=False if self.mesh is not None else None)

@@ -882,16 +882,31 @@ def fused_multirow_q_core(
 # score_mode: "bf16" upcasts the int8 panels before the MXU ops (exact wrt
 # the int8 cache); "int8" quantizes queries (per cell) and probabilities
 # (per row) and runs int8×int8 MXU contractions — no upcast pass at all.
+#
+# kv_int4 packs TWO cache slots per byte along the sublane (slot) axis:
+# packed row m holds slot m in the high nibble and slot m + M/2 in the low
+# nibble (nibbles stored as value+8 ∈ [1, 15], int4 range ±7). Pairing along
+# M — not along lanes — means unpacking never interleaves lanes: the score
+# contraction just splits into two (M/2, HD) halves whose results land in
+# the top/bottom sublane halves of the (M, RH) score matrix, and the PV
+# contraction splits the same way over e's sublanes. Per-slot fp32 scales
+# stay at full M rows (they are 0.5% of the panel bytes). This halves the
+# dominant per-step HBM read (402 MB → 201 MB at B=64/M=512) — which is
+# precisely what lets rows_per_cell double without the per-cell DMA growth
+# that made int8 R=16 measure flat (docs/PERF.md).
 # ---------------------------------------------------------------------------
 
 def _make_slab_kernel(cfg, M: int, R: int, score_mode: str,
-                      weights_int8: bool = False):
+                      weights_int8: bool = False, kv_int4: bool = False):
     H, Dh, D, Dff = cfg.n_heads, cfg.d_head, cfg.d_model, cfg.d_inner
     HD = H * Dh
     RH = R * H
+    M2 = M // 2
     scale = 1.0 / math.sqrt(Dh) if cfg.scale else 1.0
     act = cfg.act
     SLAB = 32  # int8 sublane tile height
+    if kv_int4 and score_mode != "bf16":
+        raise ValueError("kv_int4 supports score_mode='bf16' only")
 
     dot_t = lambda a, b: jax.lax.dot_general(  # contract last dims: (X,C),(Y,C)→(X,Y)
         a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -955,18 +970,40 @@ def _make_slab_kernel(cfg, M: int, R: int, score_mode: str,
         v1 = qkv[:, 2 * HD:3 * HD]
 
         # fresh-slot quantization + 32-sublane slab merges (the only writes)
+        QMAX = 7.0 if kv_int4 else 127.0
         kabs = jnp.max(jnp.abs(k1), axis=1, keepdims=True)
-        ksc_new = jnp.maximum(kabs, 1e-6) * (1.0 / 127.0)
-        k1q = jnp.clip(jnp.round(k1 / ksc_new), -127.0, 127.0)
+        ksc_new = jnp.maximum(kabs, 1e-6) * (1.0 / QMAX)
+        k1q = jnp.clip(jnp.round(k1 / ksc_new), -QMAX, QMAX)
         vabs = jnp.max(jnp.abs(v1), axis=1, keepdims=True)
-        vsc_new = jnp.maximum(vabs, 1e-6) * (1.0 / 127.0)
-        v1q = jnp.clip(jnp.round(v1 / vsc_new), -127.0, 127.0)
+        vsc_new = jnp.maximum(vabs, 1e-6) * (1.0 / QMAX)
+        v1q = jnp.clip(jnp.round(v1 / vsc_new), -QMAX, QMAX)
 
         rowi = jax.lax.broadcasted_iota(jnp.int32, (R, SLAB, 1), 1)
-        kt_slab[0] = jnp.where(rowi == off, k1q.reshape(R, 1, HD).astype(kt.dtype),
-                               kt[0, :, pl.ds(tile, SLAB), :])
-        vc_slab[0] = jnp.where(rowi == off, v1q.reshape(R, 1, HD).astype(vc.dtype),
-                               vc[0, :, pl.ds(tile, SLAB), :])
+        if kv_int4:
+            # packed row pm holds slot pm (hi nibble) and slot pm+M/2 (lo);
+            # nibbles are value+8 — read-modify-write the byte's own nibble
+            pm = p - (p // M2) * M2
+            side = p // M2
+            tile_p = (pm // SLAB) * SLAB
+            off_p = pm - tile_p
+
+            def _rmw(old_i8, q4):
+                old = old_i8.astype(jnp.int32) & 255        # (R, SLAB, HD)
+                n4 = (q4 + 8.0).astype(jnp.int32).reshape(R, 1, HD)
+                new = jnp.where(side == 0,
+                                (old & 15) | (n4 << 4),
+                                (old & 240) | n4)
+                return jnp.where(rowi == off_p, new, old).astype(old_i8.dtype)
+
+            kt_slab[0] = _rmw(kt[0, :, pl.ds(tile_p, SLAB), :], k1q)
+            vc_slab[0] = _rmw(vc[0, :, pl.ds(tile_p, SLAB), :], v1q)
+        else:
+            kt_slab[0] = jnp.where(rowi == off,
+                                   k1q.reshape(R, 1, HD).astype(kt.dtype),
+                                   kt[0, :, pl.ds(tile, SLAB), :])
+            vc_slab[0] = jnp.where(rowi == off,
+                                   v1q.reshape(R, 1, HD).astype(vc.dtype),
+                                   vc[0, :, pl.ds(tile, SLAB), :])
         ks_slab[0] = jnp.where(rowi == off, ksc_new.reshape(R, 1, 1),
                                ksc[0, :, pl.ds(tile, SLAB), :])
         vs_slab[0] = jnp.where(rowi == off, vsc_new.reshape(R, 1, 1),
@@ -998,13 +1035,23 @@ def _make_slab_kernel(cfg, M: int, R: int, score_mode: str,
             qu2_i = jnp.clip(jnp.round(qu2_f / qs),
                              -127.0, 127.0).astype(jnp.int8)
         for r in range(R):
-            if score_mode == "int8":
+            if kv_int4:
+                xp = kt[0, r].astype(jnp.int32) & 255       # (M/2, HD) bytes
+                k_hi = ((xp >> 4) - 8).astype(wdt)
+                k_lo = ((xp & 15) - 8).astype(wdt)
+                qr = qu2[r * H:(r + 1) * H, :]
+                sc_scr[0:M2, pl.ds(r * H, H)] = \
+                    dot_t(k_hi, qr) * ksc[0, r, 0:M2]
+                sc_scr[M2:M, pl.ds(r * H, H)] = \
+                    dot_t(k_lo, qr) * ksc[0, r, M2:M]
+            elif score_mode == "int8":
                 ac_r = dot_t_i32(kt[0, r], qu2_i[r * H:(r + 1) * H, :]) \
                     .astype(jnp.float32) * (ksc[0, r] * qs)         # (M, H)
+                sc_scr[0:M, pl.ds(r * H, H)] = ac_r
             else:
                 kt_bf = kt[0, r].astype(wdt)                # (M, HD)
                 ac_r = dot_t(kt_bf, qu2[r * H:(r + 1) * H, :]) * ksc[0, r]
-            sc_scr[0:M, pl.ds(r * H, H)] = ac_r
+                sc_scr[0:M, pl.ds(r * H, H)] = ac_r
 
         ac = sc_scr[0:M, 0:RH]                                      # (M, RH)
         bd = pltpu.roll(sd[0:M, :], p, 0)
@@ -1025,7 +1072,13 @@ def _make_slab_kernel(cfg, M: int, R: int, score_mode: str,
         hm_h = hm[0:H, :].astype(jnp.float32)                       # (H, HD)
         for r in range(R):
             e_r = e[:, r * H:(r + 1) * H] * vsc[0, r]                 # (M, H)
-            if score_mode == "int8":
+            if kv_int4:
+                xv = vc[0, r].astype(jnp.int32) & 255       # (M/2, HD) bytes
+                v_hi = ((xv >> 4) - 8).astype(wdt)
+                v_lo = ((xv & 15) - 8).astype(wdt)
+                pv = dot_s(e_r[0:M2].astype(wdt), v_hi) \
+                    + dot_s(e_r[M2:M].astype(wdt), v_lo)    # (H, HD)
+            elif score_mode == "int8":
                 emax = jnp.max(e_r)
                 es = jnp.maximum(emax, 1e-9) * (1.0 / 127.0)
                 e_i = jnp.clip(jnp.round(e_r / es), 0.0, 127.0).astype(jnp.int8)
@@ -1088,6 +1141,25 @@ def quantize_kv_slot_major(kt_s: jnp.ndarray, vc_s: jnp.ndarray):
     return kq, ks, vq, vs
 
 
+def quantize_kv_slot_major_int4(kt_s: jnp.ndarray, vc_s: jnp.ndarray):
+    """int4 slot-major quantization: (L, B, M, HD) → packed (L, B, M/2, HD)
+    bytes (slot m hi nibble, slot m+M/2 lo nibble, nibble = value+8) plus
+    full-resolution (L, B, M, 1) fp32 per-slot scales."""
+    M = kt_s.shape[2]
+    M2 = M // 2
+
+    def q(a):
+        amax = jnp.max(jnp.abs(a.astype(jnp.float32)), axis=3, keepdims=True)
+        s = jnp.maximum(amax, 1e-6) / 7.0
+        q4 = (jnp.clip(jnp.round(a.astype(jnp.float32) / s), -7, 7)
+              .astype(jnp.int32) + 8)                      # [1, 15]
+        packed = (q4[:, :, 0:M2, :] << 4) | q4[:, :, M2:M, :]
+        return packed.astype(jnp.int8), s
+    kq, ks = q(kt_s)
+    vq, vs = q(vc_s)
+    return kq, ks, vq, vs
+
+
 def fused_slab_core(
     stacked: StackedTXL,
     cfg,
@@ -1104,6 +1176,7 @@ def fused_slab_core(
     score_mode: str = "bf16",
     weights_int8: bool = False,
     w_scales: jnp.ndarray = None,   # (L, 8, SMAX) f32 when weights_int8
+    kv_int4: bool = False,   # kt/vc are (L, B, M/2, HD) packed nibble pairs
     interpret: bool = False,
 ):
     """Slab-write decode core. Returns (h_out, kt', ks', vc', vs')."""
@@ -1114,6 +1187,9 @@ def fused_slab_core(
     R = rows_per_cell
     SLAB = 32
     assert B % R == 0 and M % SLAB == 0
+    if kv_int4:
+        assert M % (2 * SLAB) == 0, "kv_int4 packs slot pairs in 32-row tiles"
+    M_KV = M // 2 if kv_int4 else M
     SMAX = max(3 * HD, D, Dff)
     if w_scales is None:
         if weights_int8:
@@ -1127,13 +1203,18 @@ def fused_slab_core(
         (1, *shape), lambda i, b, s: (i, *([0] * len(shape))),
         memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    cache_in = lambda lanes: pl.BlockSpec(
-        (1, R, M, lanes), lambda i, b, s: (i, b, 0, 0), memory_space=pltpu.VMEM)
+    cache_in = lambda rows, lanes: pl.BlockSpec(
+        (1, R, rows, lanes), lambda i, b, s: (i, b, 0, 0),
+        memory_space=pltpu.VMEM)
     slab_out = lambda lanes: pl.BlockSpec(
         (1, R, SLAB, lanes), lambda i, b, s: (i, b, s[0] // SLAB, 0),
         memory_space=pltpu.VMEM)
+    # packed KV slabs tile around the PACKED row of slot s: s % (M/2)
+    slab_out_kv = (lambda lanes: pl.BlockSpec(
+        (1, R, SLAB, lanes), lambda i, b, s: (i, b, (s[0] % (M // 2)) // SLAB, 0),
+        memory_space=pltpu.VMEM)) if kv_int4 else slab_out
 
-    kernel = _make_slab_kernel(cfg, M, R, score_mode, weights_int8)
+    kernel = _make_slab_kernel(cfg, M, R, score_mode, weights_int8, kv_int4)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(L, B // R),
@@ -1145,13 +1226,14 @@ def fused_slab_core(
             lspec((M + 1, HD)),
             full(), full(),
             lspec((8, SMAX)),
-            cache_in(HD), cache_in(1), cache_in(HD), cache_in(1),
+            cache_in(M_KV, HD), cache_in(M, 1),
+            cache_in(M_KV, HD), cache_in(M, 1),
             pl.BlockSpec((R, D), lambda i, b, s: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, M), lambda i, b, s: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((R, D), lambda i, b, s: (b, 0), memory_space=pltpu.VMEM),
-            slab_out(HD), slab_out(1), slab_out(HD), slab_out(1),
+            slab_out_kv(HD), slab_out(1), slab_out_kv(HD), slab_out(1),
         ],
         scratch_shapes=[pltpu.VMEM((B, D), jnp.float32),
                         pltpu.VMEM((M, R * H), jnp.float32),
@@ -1189,7 +1271,8 @@ def fused_slab_core(
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "mem_len", "rows_per_cell",
-                                    "score_mode", "weights_int8", "interpret"),
+                                    "score_mode", "weights_int8", "kv_int4",
+                                    "interpret"),
                    donate_argnums=(4, 5, 6, 7))
 def fused_slab_decode(
     stacked: StackedTXL,
@@ -1207,6 +1290,7 @@ def fused_slab_decode(
     score_mode: str = "bf16",
     weights_int8: bool = False,
     w_scales: jnp.ndarray = None,
+    kv_int4: bool = False,
     interpret: bool = False,
 ):
     """Jitted wrapper (tests/standalone use)."""
@@ -1214,7 +1298,7 @@ def fused_slab_decode(
         stacked, cfg, h_in, wkr_mt, kt, ks, vc, vs, blocked,
         jnp.reshape(ptr, ()), mem_len, rows_per_cell=rows_per_cell,
         score_mode=score_mode, weights_int8=weights_int8, w_scales=w_scales,
-        interpret=interpret)
+        kv_int4=kv_int4, interpret=interpret)
 
 
 @functools.partial(jax.jit,

@@ -260,6 +260,101 @@ def test_slab_kernel_matches_ring(setup, score_mode, weights_int8, R):
                                   vq0[:, :, out_band, :])
 
 
+@pytest.mark.parametrize("weights_int8,R,ptr_slot", [
+    (False, 8, 39),    # hi-nibble side (slot < M/2), packed row 39
+    (False, 8, 103),   # lo-nibble side (slot >= M/2), SAME packed row 39
+    (False, 16, 39), (True, 8, 39)])
+def test_slab4_kernel_matches_ring(setup, weights_int8, R, ptr_slot):
+    """int4-packed slab kernel (two cache slots per byte along M): logits
+    within int4-cache noise of the fp reference, the fresh slot's nibble
+    dequantizes to the reference K/V, the PARTNER slot sharing the byte is
+    untouched, and only the 32-packed-row band changes."""
+    from deepmusicgeneration_tpu.ops.fused_decode import (
+        fused_slab_decode, quantize_kv_slot_major_int4,
+        quantize_stacked_weights)
+    cfg, params = setup
+    M = cfg.mem_len
+    M2 = M // 2
+    L, H, Dh = cfg.n_layers, cfg.n_heads, cfg.d_head
+    HD = H * Dh
+    B = max(16, R)
+    rng = np.random.default_rng(11)
+    k = jnp.asarray(rng.normal(scale=0.5, size=(L, B, H, M, Dh)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(scale=0.5, size=(L, B, H, M, Dh)), jnp.bfloat16)
+    g_rows = []
+    for b in range(B):
+        g_row = np.arange(M) - M
+        g_row[:b] = txl.PAD_G
+        g_rows.append(g_row)
+    g = jnp.asarray(np.stack(g_rows), jnp.int32)
+    ptr = jnp.asarray(ptr_slot, jnp.int32)
+    cache = txl.RingKVCache(k=k, v=v, g=g, ptr=ptr,
+                            g_cur=jnp.asarray(ptr_slot, jnp.int32))
+    wkr = txl.precompute_wkr(params, cfg, M)
+    toks = jnp.asarray(rng.integers(12, 140, B), jnp.int32)
+    ref_logits, ref_cache = txl.decode_step_ring(
+        params, cfg, toks, jnp.zeros((B,), jnp.int32), cache, wkr)
+
+    stacked = stack_txl_layers(params)
+    h_in = params["embed"][toks].astype(jnp.float32)
+    dist = cache.g_cur - cache.g
+    blocked = ((dist < 1) | (dist > M)).astype(jnp.int32)
+    kt_s = k.transpose(0, 1, 3, 2, 4).reshape(L, B, M, HD)
+    vc_s = v.transpose(0, 1, 3, 2, 4).reshape(L, B, M, HD)
+    kq, ks, vq, vs = quantize_kv_slot_major_int4(kt_s, vc_s)
+    assert kq.shape == (L, B, M2, HD)
+    kq0, vq0 = np.asarray(kq).copy(), np.asarray(vq).copy()
+    ks0 = np.asarray(ks).copy()
+    wkr_mt = wkr.transpose(0, 2, 1, 3).reshape(L, M + 1, HD)
+    w_scales = None
+    if weights_int8:
+        stacked, w_scales = quantize_stacked_weights(stacked)
+    h_out, kt2, ks2, vc2, vs2 = fused_slab_decode(
+        stacked, cfg, h_in, wkr_mt, kq, ks, vq, vs, blocked, ptr, M,
+        rows_per_cell=R, weights_int8=weights_int8,
+        w_scales=w_scales, kv_int4=True, interpret=True)
+    logits = h_out @ params["embed"].T.astype(jnp.float32) + params["head_b"]
+
+    ref = np.asarray(ref_logits)
+    got = np.asarray(logits)
+    np.testing.assert_allclose(got, ref, atol=1.2, rtol=0.15)
+    agree = (np.argmax(got, -1) == np.argmax(ref, -1)).mean()
+    assert agree >= 0.7, f"agreement {agree}"
+
+    # the fresh slot's nibble dequantizes to the reference K/V (int4 grid)
+    pm, side = ptr_slot % M2, ptr_slot // M2
+    nib = lambda a: ((np.asarray(a)[:, :, pm, :].astype(np.int32) & 255) >> 4
+                     if side == 0
+                     else np.asarray(a)[:, :, pm, :].astype(np.int32) & 15)
+    ref_k_slot = np.asarray(ref_cache.k[:, :, :, ptr_slot, :]
+                            .astype(jnp.float32)).reshape(L, B, HD)
+    got_k_slot = (nib(kt2) - 8) * np.asarray(ks2[:, :, ptr_slot, 0])[:, :, None]
+    np.testing.assert_allclose(got_k_slot, ref_k_slot, atol=0.2)
+    ref_v_slot = np.asarray(ref_cache.v[:, :, :, ptr_slot, :]
+                            .astype(jnp.float32)).reshape(L, B, HD)
+    got_v_slot = (nib(vc2) - 8) * np.asarray(vs2[:, :, ptr_slot, 0])[:, :, None]
+    np.testing.assert_allclose(got_v_slot, ref_v_slot, atol=0.2)
+
+    # the PARTNER nibble of the same byte is bit-identical to before
+    other = lambda a: (np.asarray(a)[:, :, pm, :].astype(np.int32) & 15
+                       if side == 0
+                       else (np.asarray(a)[:, :, pm, :].astype(np.int32) & 255) >> 4)
+    np.testing.assert_array_equal(other(kt2), other(kq0))
+    np.testing.assert_array_equal(other(vc2), other(vq0))
+
+    # slab contract: packed rows OUTSIDE the 32-row band [32, 64) untouched
+    out_band = np.r_[0:32, 64:M2]
+    np.testing.assert_array_equal(np.asarray(kt2)[:, :, out_band, :],
+                                  kq0[:, :, out_band, :])
+    np.testing.assert_array_equal(np.asarray(vc2)[:, :, out_band, :],
+                                  vq0[:, :, out_band, :])
+    # and the full-resolution scale sidecars only change at the slot's band
+    stile = (ptr_slot // 32) * 32
+    s_out = np.r_[0:stile, stile + 32:M]
+    np.testing.assert_array_equal(np.asarray(ks2)[:, :, s_out, :],
+                                  ks0[:, :, s_out, :])
+
+
 def test_batched_fused_kernel_matches_ring(setup):
     from deepmusicgeneration_tpu.ops.fused_decode import fused_batched_decode
     cfg, params = setup
