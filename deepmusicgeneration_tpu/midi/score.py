@@ -215,9 +215,10 @@ def midifile_to_score(mf: MidiFile, quantize: bool = True) -> Score:
 
 
 def load_score(path_or_bytes, quantize: bool = True) -> Score:
-    """Load a score from SMF or MusicXML (.musicxml/.xml/.mxl), sniffing the
-    content — the file2stream breadth the reference gets from music21
-    (core/encodings.py:170-177), without the music21 dependency."""
+    """Load a score from SMF, MusicXML (.musicxml/.xml/.mxl), ABC notation
+    or Humdrum **kern, sniffing the content — the file2stream breadth the
+    reference gets from music21 (core/encodings.py:170-177), without the
+    music21 dependency."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         data = bytes(path_or_bytes)
     else:
@@ -227,6 +228,12 @@ def load_score(path_or_bytes, quantize: bool = True) -> Score:
         from .musicxml import is_musicxml, musicxml_to_score
         if is_musicxml(data):
             return musicxml_to_score(data, quantize)
+        from .abc import abc_to_score, is_abc
+        if is_abc(data):
+            return abc_to_score(data, quantize)
+        from .kern import is_kern, kern_to_score
+        if is_kern(data):
+            return kern_to_score(data, quantize)
     mf = parse_midi_bytes(data)
     return midifile_to_score(mf, quantize)
 
