@@ -41,6 +41,25 @@ def _mask_notes(item, proportion, rng):
     return MusicItem(data, v, position=item.position), sel
 
 
+def test_predict_nw_on_trained_checkpoint(learner):
+    """Next-word continuation on the trained 85M checkpoint (beyond the toy
+    random-weights NWEngine test): the continuation must be grammar-valid
+    under the non-strict tables and stay inside the note/dur/instrument
+    token space — restraint that must come from training, mirroring
+    predictNwGenreModel's quality bar (deep_music_remix.py:2944-2967)."""
+    from deepmusicgeneration_tpu.codec.grammar import grammar_violations
+    vocab = learner.vocab
+    song = MusicItem.from_npenc(generate_song("rock", 7_100_000), vocab,
+                                genre="rock")
+    seed = MusicItem(song.data[:256], vocab)
+    pred, full = learner.predict_nw(seed, n_words=48, min_bars=1000, seed=0)
+    assert len(pred.data) > 16, f"nw produced only {len(pred.data)} tokens"
+    assert grammar_violations(pred.data, vocab,
+                              prev_idx=int(seed.data[-1])) == 0
+    assert int(np.max(pred.data)) < vocab.ins_range[1]
+    assert len(full.data) == len(seed.data) + len(pred.data)
+
+
 @pytest.mark.parametrize("parallel", [True, False])
 def test_mask_infill_recovers_heldout_notes(learner, parallel):
     vocab = learner.vocab

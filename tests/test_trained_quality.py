@@ -57,6 +57,25 @@ def test_heldout_perplexity_generalizes(learner):
     assert m["valid_acc"] > 0.75
 
 
+def test_beam_search_on_trained_checkpoint(learner):
+    """Beam search quality on the trained 41M checkpoint (beyond the toy
+    random-weights test in test_decode.py). Mirrors the reference's
+    MusicLearner.beam_search usage (deep_music_genre.py:1823-1851): the
+    returned finished beam must be grammar-valid and musically restrained
+    (no tempo/dummy tokens, which a trained model avoids unforced)."""
+    vocab = learner.vocab
+    seed_npenc = generate_song("pop", 6_100_000)
+    seed = MusicItem.from_npenc(seed_npenc, vocab, genre="pop") \
+        .trim_to_beat(16).remove_eos()
+    out = learner.beam_search(seed, n_words=32, top_k=8, beam_sz=4, seed=0)
+    assert len(out) >= 16, f"beam returned only {len(out)} tokens"
+    assert grammar_violations(out, vocab, prev_idx=int(seed.data[-1])) == 0
+    assert int(np.max(out)) < vocab.ins_range[1]
+    # determinism contract: same seed → same beam
+    out2 = learner.beam_search(seed, n_words=32, top_k=8, beam_sz=4, seed=0)
+    np.testing.assert_array_equal(out, out2)
+
+
 def test_greedy_sample_grammar_valid_nonstrict(learner):
     from deepmusicgeneration_tpu.decode.engine import GenerationEngine
     vocab = learner.vocab
