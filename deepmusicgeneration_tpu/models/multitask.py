@@ -237,13 +237,17 @@ def stack_forward(
     win_size: int = 1,
     win_k: int = 1,
     flash: Optional[bool] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """MTEncoder.forward (remix:1985-2003): all blocks share u/v and one r
     table over max(L, Le) + mem_len positions. ``win_size``/``win_k`` select
     the training-time random window mask (MTTrainer curriculum). ``flash``
     routes the bidirectional self-attention through the VMEM-resident Pallas
     kernel (encoder stacks only — auto on TPU; training/decoder paths keep
-    the XLA path, which the curriculum masks need)."""
+    the XLA path, which the curriculum masks need). ``remat`` wraps each
+    block in :func:`jax.checkpoint` so backward recomputes the per-layer f32
+    score tensors instead of keeping every layer's live — without it the
+    enc-dec s2s train step OOMs a 16 GB chip at (B=32, W=512)."""
     B, L, D = h.shape
     dt = h.dtype
     r_len = max(L, enc_out.shape[1] if enc_out is not None else 0) + cfg.mem_len
@@ -263,12 +267,17 @@ def stack_forward(
         pc = pad_cols[:, None, None, :]
         self_mask = pc if self_mask is None else (self_mask | pc)
 
-    for bp in stack["layers"]:
+    def one_block(bp, h):
         h = _attn_apply(bp["mha1"], cfg, h, h, r, u, v, self_mask, r_mask=False)
         if enc_out is not None:
             h = _attn_apply(bp["mha2"], cfg, h, enc_out, r, u, v, None, r_mask=True)
             h = _ff(bp, cfg, h)
         # reference quirk: no cross input → attention-only block (no FFN)
+        return h
+
+    block = jax.checkpoint(one_block) if remat else one_block
+    for bp in stack["layers"]:
+        h = block(bp, h)
     return h
 
 
@@ -286,6 +295,7 @@ def forward(
     pad_idx: int = 1,
     win_size: int = 1,
     win_k: int = 1,
+    remat: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Route task dict → logits dict (MultiTransformer.forward)."""
     out = {}
@@ -295,24 +305,25 @@ def forward(
         d = inp["msk"]
         h = embed_tokens(params, cfg, d["x"], d.get("pos"), pad_idx)
         h = stack_forward(params["encoder"], cfg, h, is_decoder=False,
-                          flash=False)
+                          flash=False, remat=remat)
         out["msk"] = head(params, cfg, h)
     if "lm" in inp and inp["lm"] is not None:
         d = inp["lm"]
         h = embed_tokens(params, cfg, d["x"], d.get("pos"), pad_idx)
         h = stack_forward(params["decoder"], cfg, h, is_decoder=True,
-                          win_size=win_size, win_k=win_k)
+                          win_size=win_size, win_k=win_k, remat=remat)
         out["lm"] = head(params, cfg, h)
     for key in ("s2f", "f2s", "c2m", "m2c"):
         if key in inp and inp[key] is not None:
             d = inp[key]
             eh = embed_tokens(params, cfg, d["enc"], d.get("enc_pos"), pad_idx)
             eh = stack_forward(params["encoder"], cfg, eh, is_decoder=False,
-                               pad_cols=d.get("enc_pad"), flash=False)
+                               pad_cols=d.get("enc_pad"), flash=False,
+                               remat=remat)
             dh = embed_tokens(params, cfg, d["dec"], d.get("dec_pos"), pad_idx)
             dh = stack_forward(params["decoder"], cfg, dh, is_decoder=True,
                                enc_out=eh, pad_cols=d.get("dec_pad"),
-                               win_size=win_size, win_k=win_k)
+                               win_size=win_size, win_k=win_k, remat=remat)
             out[key] = head(params, cfg, dh)
     return out
 

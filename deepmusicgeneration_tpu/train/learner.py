@@ -300,7 +300,7 @@ class MultitaskLearner:
     def fit(self, batches, epochs: int = 1, lr: float = 5e-4, clip: float = 0.5,
             log_fn: Callable[[str], None] = print, seed: int = 0,
             dataloaders=None, starting_mask_window: int = 1,
-            mesh=None) -> FitResult:
+            mesh=None, remat: bool = False) -> FitResult:
         """Train on (x_dict, y_dict) multitask batches.
 
         MTTrainer semantics (deep_music_remix.py:2782-2799): per epoch, the
@@ -315,6 +315,11 @@ class MultitaskLearner:
         TPU-native form of the reference's fastai-DDP training
         (deep_music_remix.py:2452-2799). Pass ``make_mesh()`` to use all
         local devices.
+
+        ``remat``: per-block :func:`jax.checkpoint` in the forward — trades
+        ~⅓ more FLOPs for not holding every layer's f32 score tensor live
+        through backward. Required for the 85M enc-dec s2s step at
+        (B=32, W=512) on a single 16 GB chip.
         """
         loaders = dataloaders if dataloaders is not None else [
             batches if isinstance(batches, list) else list(batches)]
@@ -326,7 +331,8 @@ class MultitaskLearner:
 
         if mesh is not None:
             step, shard_params, shard_opt, shard_batch = \
-                make_sharded_multitask_step(cfg, optimizer, pad_idx, mesh)
+                make_sharded_multitask_step(cfg, optimizer, pad_idx, mesh,
+                                            remat=remat)
             params = shard_params(self.params)
             opt_state = shard_opt(params, optimizer.init(params))
         else:
@@ -339,7 +345,8 @@ class MultitaskLearner:
             def step(params, opt_state, xd, yd, win_size=1, win_k=1):
                 def loss_fn(p):
                     out = mt.forward(p, cfg, xd, pad_idx=pad_idx,
-                                     win_size=win_size, win_k=win_k)
+                                     win_size=win_size, win_k=win_k,
+                                     remat=remat)
                     return multi_loss(out, yd, pad_idx)
                 (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
                 updates, opt_state2 = optimizer.update(grads, opt_state, params)

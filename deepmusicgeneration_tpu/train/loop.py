@@ -167,7 +167,8 @@ def make_sharded_train_step(cfg: TXLConfig, optimizer, pad_idx: int, mesh):
     return step, shard_state, shard_batch
 
 
-def make_sharded_multitask_step(cfg, optimizer, pad_idx: int, mesh):
+def make_sharded_multitask_step(cfg, optimizer, pad_idx: int, mesh,
+                                remat: bool = False):
     """Multi-chip multitask train step (MultiTransformer).
 
     The reference trains this model under fastai DDP
@@ -187,7 +188,7 @@ def make_sharded_multitask_step(cfg, optimizer, pad_idx: int, mesh):
     def step(params, opt_state, xd, yd, win_size=1, win_k=1):
         def loss_fn(p):
             out = mt.forward(p, cfg, xd, pad_idx=pad_idx,
-                             win_size=win_size, win_k=win_k)
+                             win_size=win_size, win_k=win_k, remat=remat)
             return multi_loss(out, yd, pad_idx)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state2 = optimizer.update(grads, opt_state, params)

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--medium", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="per-block jax.checkpoint in the train step; needed "
+                         "for the full 85M model at bs>=32, bptt 512 on one "
+                         "16 GB chip")
     args = ap.parse_args()
     if not args.src and not args.npy_data:
         ap.error("one of --src / --npy-data is required")
@@ -100,7 +104,7 @@ def main():
         logger.log("s2s", items=len(items), batches=len(s2s_batches))
 
     res = learner.fit(mask_batches, epochs=args.epochs, lr=args.lr,
-                      dataloaders=loaders,
+                      dataloaders=loaders, remat=args.remat,
                       log_fn=lambda s: logger.log("epoch", msg=s))
     learner.save(os.path.join(args.out, "ckpt"))
     logger.log("done", best_loss=res.best_loss)

@@ -384,3 +384,34 @@ def test_multitask_attention_torch_oracle(small, vocab):
                               enc_out=torch.from_numpy(np.asarray(enc_out)).float()
                               ).detach().numpy()
     np.testing.assert_allclose(np.asarray(ours_dec), theirs_dec, atol=5e-4, rtol=1e-3)
+
+
+def test_remat_forward_and_grad_parity(small):
+    """remat=True (per-block jax.checkpoint, the memory-bound train path for
+    the 85M enc-dec at bs>=32) must not change the computation: identical
+    forward logits and matching grads vs the plain path."""
+    cfg, params = small
+    rng = np.random.default_rng(3)
+    B, L = 2, 16
+    x = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, L)), jnp.int32)
+    pos = jnp.asarray(rng.integers(0, 64, (B, L)), jnp.int32)
+    batch = {"msk": {"x": x, "pos": pos},
+             "s2f": {"enc": x, "enc_pos": pos, "dec": x, "dec_pos": pos}}
+
+    def loss(p, remat):
+        out = mt.forward(p, cfg, batch, remat=remat)
+        return sum(jnp.sum(v * v) for v in out.values())
+
+    f0 = mt.forward(params, cfg, batch, remat=False)
+    f1 = mt.forward(params, cfg, batch, remat=True)
+    for k in f0:
+        np.testing.assert_array_equal(np.asarray(f0[k]), np.asarray(f1[k]))
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    flat0, _ = jax.tree_util.tree_flatten(g0)
+    flat1, _ = jax.tree_util.tree_flatten(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-2, atol=2e-3)
