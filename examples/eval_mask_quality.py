@@ -57,10 +57,13 @@ def main():
     acc = {"sequential": [], "parallel": []}
     times = {"sequential": 0.0, "parallel": 0.0}
     n_masks_total = 0
+    n_masks_timed = 0
     for idx, data in enumerate(valid):
         item = MusicItem(np.asarray(data[:args.max_tokens]), vocab)
         masked, sel = mask_notes(item, args.proportion, rng)
         n_masks_total += len(sel)
+        if idx > 0:
+            n_masks_timed += len(sel)
         for mode, par in (("sequential", False), ("parallel", True)):
             t0 = time.time()
             filled = learner.predict_mask(masked, greedy=True, parallel=par,
@@ -70,7 +73,9 @@ def main():
             hits = (filled.data[sel] == item.data[sel]).mean()
             acc[mode].append(float(hits))
 
+    import jax
     res = {
+        "backend": jax.devices()[0].platform,
         "n_songs": len(valid),
         "mask_proportion": args.proportion,
         "n_masks_total": n_masks_total,
@@ -79,6 +84,10 @@ def main():
         "sequential_time_s": round(times["sequential"], 2),
         "parallel_time_s": round(times["parallel"], 2),
         "speedup": round(times["sequential"] / max(times["parallel"], 1e-9), 1),
+        # single-stream (B=1) infill rate of the parallel one-pass engine;
+        # the batched TPU rate is bench.py's mask_infills_per_sec_85m line
+        "parallel_infills_per_sec": round(
+            n_masks_timed / max(times["parallel"], 1e-9), 1),
     }
     print(json.dumps(res, indent=2))
     if args.json:

@@ -77,3 +77,32 @@ def test_mask_infill_recovers_heldout_notes(learner, parallel):
         total += len(sel)
     acc = hits / total
     assert acc > 0.5, f"mask fill acc {acc:.3f} (chance is ~1/128)"
+
+
+def test_s2s_teacher_forced_accuracy(learner):
+    """Harmonization (s2s) quality on the trained checkpoint: teacher-forced
+    next-token accuracy on fresh held-out song pairs must be far above
+    chance, in BOTH directions (s2f and f2s) — the melody↔chord translation
+    the reference trains via MultitaskLearner (deep_music_remix.py:2615-2698).
+    """
+    from deepmusicgeneration_tpu.codec.item import MultitrackItem
+    from deepmusicgeneration_tpu.models import multitask as mt
+    from deepmusicgeneration_tpu.train.data import S2SLoader
+
+    vocab = learner.vocab
+    items = []
+    for i in range(8):
+        it = MultitrackItem.from_npenc(
+            generate_song("jazz", 7_200_000 + i), vocab)
+        if len(it.first_instrument) > 16 and len(it.second_instrument) > 16:
+            items.append(it)
+    assert len(items) >= 2, "fresh songs lack paired piano/bass tracks"
+    loader = S2SLoader(items, vocab, bs=len(items), bptt=256, shuffle=False)
+    xd, yd = next(iter(loader))
+    out = mt.forward(learner.params, learner.cfg, xd, pad_idx=vocab.pad_idx)
+    for task in ("s2f", "f2s"):
+        pred = np.asarray(out[task]).argmax(-1)
+        y = np.asarray(yd[task])
+        mask = y != vocab.pad_idx
+        acc = float((pred == y)[mask].mean())
+        assert acc > 0.5, f"{task} teacher-forced acc {acc:.3f}"
