@@ -275,14 +275,28 @@ def run_multitask_bench():
         log("skipping s2s bench: budget low")
         return
     from deepmusicgeneration_tpu.tasks.harmonize import s2s_predict_from_midi
+    # 1024-token harmonization of the 6.5k-token source (fused slab_w8
+    # decoder sweep). A single synced call pays the documented per-dispatch
+    # tunnel latency (tens of ms — docs/PERF.md measurement caveats), so the
+    # long generation is the honest throughput shape; the short 128-token
+    # row is kept for round-2 comparability (the same call shape it used).
     s2s_predict_from_midi(learner, "/root/reference/Never_Gonna_Let_You_Go.mid",
-                          n_words=128, seed_len=16, seed=0)  # compile+run
+                          n_words=1024, seed_len=16, seed=0)  # compile+run
     t0 = time.time()
     s2s_predict_from_midi(learner, "/root/reference/Never_Gonna_Let_You_Go.mid",
-                          n_words=128, seed_len=16, seed=1)
+                          n_words=1024, seed_len=16, seed=1)
     s2s_dt = time.time() - t0
-    log(f"s2s harmonize: 128 tokens in {s2s_dt:.2f}s → {128/s2s_dt:.1f} tok/s")
-    bank("s2s", s2s_decode_tokens_per_sec_85m=round(128 / s2s_dt, 1))
+    log(f"s2s harmonize: 1024 tokens in {s2s_dt:.2f}s → {1024/s2s_dt:.1f} tok/s")
+    bank("s2s", s2s_decode_tokens_per_sec_85m=round(1024 / s2s_dt, 1))
+    if budget_left() > 60:
+        s2s_predict_from_midi(learner, "/root/reference/Never_Gonna_Let_You_Go.mid",
+                              n_words=128, seed_len=16, seed=0)  # compile+run
+        t0 = time.time()
+        s2s_predict_from_midi(learner, "/root/reference/Never_Gonna_Let_You_Go.mid",
+                              n_words=128, seed_len=16, seed=1)
+        dt = time.time() - t0
+        log(f"s2s harmonize (short call): 128 tokens in {dt:.2f}s → {128/dt:.1f} tok/s")
+        bank("s2s_short", s2s_short128_tokens_per_sec_85m=round(128 / dt, 1))
 
 
 def run_train_bench():

@@ -217,7 +217,7 @@ class MaskEngine:
 # predict_s2s
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "settings", "mem_len"))
+@functools.partial(jax.jit, static_argnames=("cfg", "settings", "mem_len", "kernel"))
 def _predict_s2s_compiled(
     params: Dict,
     cfg: MultitaskConfig,
@@ -231,6 +231,8 @@ def _predict_s2s_compiled(
     rng: jax.Array,
     settings: SamplerSettings,
     mem_len: int,
+    kernel: str = "xla",           # 'xla' | 'fused' | 'slab' | 'slab_w8'
+    stacked=None,                  # StackedMTDec ((stacked, w_scales) for slab_w8)
 ):
     B = inp.shape[0]
     enc_out = mt.encode(params, cfg, inp, inp_pos, pad_cols=inp_pad)
@@ -254,6 +256,105 @@ def _predict_s2s_compiled(
 
     step_keys = jax.random.split(rng, settings.n_words)  # one vectorized split
 
+    if kernel != "xla":
+        # whole decoder sweep in one Pallas call per step (ops/fused_s2s.py):
+        # the XLA ring step lowers to ~60 fusions, ~0.29 ms/step at B=1 —
+        # fixed-overhead-bound, the same diagnosis as the genre single-stream
+        # path. B=1 only (the host contract).
+        M = mem_len
+        D = cfg.d_model
+        L, H, Dh = cfg.dec_layers, cfg.n_heads, cfg.d_head
+        HD = H * Dh
+        embed32 = params["embed"].astype(jnp.float32)
+        head_b = params.get("head_b")
+        cblocked = inp_pad.astype(jnp.int32)             # (1, Le)
+
+        def sample(carry_st, logits, i, sub):
+            return sample_next_token(
+                logits, carry_st, tables, temperatures, top_p,
+                jnp.asarray(0, jnp.int32), allowed_ins_overlay, sub, settings,
+                i.astype(jnp.float32) / settings.n_words, max_pos=max_pos)
+
+        def head_of(h_row):
+            logits = h_row @ embed32.T
+            if head_b is not None:
+                logits = logits + head_b.astype(jnp.float32)
+            return logits
+
+        if kernel in ("slab", "slab_w8"):
+            # slot-major int8 KV + int8 cross context (+ int8 weights for
+            # slab_w8), in-kernel slab writes — the production path
+            from ..ops.fused_decode import quantize_kv_slot_major
+            from ..ops.fused_s2s import (fused_s2s_slab_core,
+                                         quantize_cross_slot_major)
+            w_scales = None
+            stk = stacked
+            if kernel == "slab_w8":
+                stk, w_scales = stacked
+            kt_s = ring.k.transpose(0, 1, 3, 2, 4).reshape(L, 1, M, HD)
+            vc_s = ring.v.transpose(0, 1, 3, 2, 4).reshape(L, 1, M, HD)
+            kq, ksc, vq, vsc = quantize_kv_slot_major(kt_s, vc_s)
+            wkr_mt = wkr_all.transpose(0, 2, 1, 3).reshape(L, M + 1, HD)
+            ckq, cksc, cvq, cvsc, cwkr_mt = quantize_cross_slot_major(cross)
+
+            def step(carry, inp_):
+                i, sub = inp_
+                kq, ksc, vq, vsc, g, ptr, g_cur, st, logits = carry
+                idx, st = sample(st, logits, i, sub)
+                emb = mt.embed_tokens(params, cfg, idx[:, None],
+                                      st.last_pos[:, None])[:, 0]
+                h_in = emb.astype(jnp.float32)
+                dist = g_cur - g
+                blocked = ((dist < 1) | (dist > M)).astype(jnp.int32)
+                h_out, kq, ksc, vq, vsc = fused_s2s_slab_core(
+                    stk, cfg, h_in, wkr_mt, kq, ksc, vq, vsc,
+                    ckq, cksc, cvq, cvsc, cwkr_mt, cblocked, blocked, ptr, M,
+                    weights_int8=(kernel == "slab_w8"), w_scales=w_scales)
+                logits = head_of(h_out)
+                g = jax.lax.dynamic_update_slice(
+                    g, jnp.broadcast_to(g_cur, (B, 1)).astype(jnp.int32),
+                    (0, ptr))
+                return (kq, ksc, vq, vsc, g, (ptr + 1) % M, g_cur + 1, st,
+                        logits), idx
+
+            carry0 = (kq, ksc, vq, vsc, ring.g, ring.ptr, ring.g_cur, st0,
+                      logits)
+            (*_, st, _), toks = jax.lax.scan(
+                step, carry0, (jnp.arange(settings.n_words), step_keys))
+            return toks.T, st.n_emitted
+
+        # 'fused': exact-bf16 sweep (slower than slab; kept for callers that
+        # need bit-faithful bf16 math with single-kernel dispatch)
+        from ..ops.fused_s2s import fused_s2s_step_core
+        kt0 = ring.k.transpose(0, 1, 2, 4, 3)            # (L,1,H,Dh,M)
+        wkr_t = wkr_all.transpose(0, 1, 3, 2)            # (L,H,Dh,M+1)
+        ck_t = cross.k[:, 0].transpose(0, 1, 3, 2)       # (L,H,Dh,Le)
+        cv = cross.v[:, 0]                               # (L,H,Le,Dh)
+        cwkr_t = cross.wkr.transpose(0, 1, 3, 2)         # (L,H,Dh,Le)
+
+        def step(carry, inp_):
+            i, sub = inp_
+            kt, vc, g, ptr, g_cur, st, logits = carry
+            idx, st = sample(st, logits, i, sub)
+            emb = mt.embed_tokens(params, cfg, idx[:, None],
+                                  st.last_pos[:, None])[:, 0]
+            h_in = jnp.zeros((8, D), jnp.float32).at[0].set(
+                emb[0].astype(jnp.float32))
+            dist = g_cur - g
+            blocked = ((dist < 1) | (dist > M)).astype(jnp.int32)
+            h_out, kt, vc = fused_s2s_step_core(
+                stacked, cfg, h_in, wkr_t, kt, vc, ck_t, cv, cwkr_t,
+                cblocked, blocked, ptr, M)
+            logits = head_of(h_out[0:1])
+            g = jax.lax.dynamic_update_slice(
+                g, jnp.broadcast_to(g_cur, (B, 1)).astype(jnp.int32), (0, ptr))
+            return (kt, vc, g, (ptr + 1) % M, g_cur + 1, st, logits), idx
+
+        carry0 = (kt0, ring.v, ring.g, ring.ptr, ring.g_cur, st0, logits)
+        (*_, st, _), toks = jax.lax.scan(
+            step, carry0, (jnp.arange(settings.n_words), step_keys))
+        return toks.T, st.n_emitted
+
     def step(carry, inp):
         i, sub = inp
         ring, st, logits = carry
@@ -271,15 +372,54 @@ def _predict_s2s_compiled(
     return toks.T, st.n_emitted
 
 
-class S2SEngine:
-    """predict_s2s host wrapper (remix:2615-2698 contract)."""
+def _pick_dec_kernel(cfg: MultitaskConfig, decode_kernel: str) -> str:
+    """Multitask decode-kernel choice. 'auto' → 'slab_w8' on TPU with bf16
+    activations (slot-major int8 KV/cross-context/weights with per-slot and
+    per-column scales — ~1e-2 logit wiggle, same quantization family as the
+    genre default, quality-gated by the trained-checkpoint tests), 'xla'
+    elsewhere. Explicit options: 'slab' (int8 KV/cross, bf16 weights),
+    'fused' (exact bf16 single-kernel sweep), 'xla' (pure XLA ring path, any
+    backend, exact)."""
+    if decode_kernel != "auto":
+        return decode_kernel
+    if jax.default_backend() == "tpu" and cfg.act_dtype == jnp.bfloat16 \
+            and cfg.mem_len % 32 == 0:
+        return "slab_w8"
+    return "xla"
 
-    def __init__(self, params: Dict, cfg: MultitaskConfig, vocab: MusicVocab):
+
+def _build_stacked(params, kernel: str):
+    if kernel == "xla":
+        return None
+    from ..ops.fused_s2s import quantize_mt_weights, stack_mt_dec_layers
+    stacked = stack_mt_dec_layers(params)
+    if kernel == "slab_w8":
+        return quantize_mt_weights(stacked)
+    return stacked
+
+
+class S2SEngine:
+    """predict_s2s host wrapper (remix:2615-2698 contract).
+
+    ``decode_kernel``: 'auto' (int8 slab sweep on TPU — see
+    :func:`_pick_dec_kernel`; NOTE the auto default quantizes KV, the cross
+    context and the weights to int8, a lossy-but-eval-backed trade), 'slab',
+    'slab_w8', 'fused' (exact bf16), or 'xla' (exact, any backend).
+    """
+
+    def __init__(self, params: Dict, cfg: MultitaskConfig, vocab: MusicVocab,
+                 decode_kernel: str = "auto"):
         if cfg.dtype == "bfloat16":
             from ..models.precision import cast_params_for_inference
             params = cast_params_for_inference(params)
         self.params, self.cfg, self.vocab = params, cfg, vocab
         self.tables = build_tables(vocab, "twotemp")
+        self.kernel = _pick_dec_kernel(cfg, decode_kernel)
+        self._stacked = _build_stacked(params, self.kernel)
+        if self.kernel != "xla":
+            import logging
+            logging.getLogger(__name__).info(
+                "s2s decode kernel: %s", self.kernel)
 
     def predict_s2s(self, input_idxenc: np.ndarray, target_idxenc: np.ndarray,
                     target_ins: Optional[str] = None,
@@ -335,7 +475,7 @@ class S2SEngine:
             jnp.asarray(start_last_pos), jnp.asarray(max_pos),
             self.tables, jnp.asarray(temps), jnp.asarray(np.float32(top_p)),
             jnp.asarray(overlay), jax.random.PRNGKey(seed), settings,
-            self.cfg.mem_len)
+            self.cfg.mem_len, kernel=self.kernel, stacked=self._stacked)
         new = np.asarray(toks)[0, : int(np.asarray(lengths)[0])]
         return np.concatenate([targ, new])
 
@@ -344,7 +484,7 @@ class S2SEngine:
 # predict_nw
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "settings", "mem_len"))
+@functools.partial(jax.jit, static_argnames=("cfg", "settings", "mem_len", "kernel"))
 def _predict_nw_compiled(
     params: Dict, cfg: MultitaskConfig,
     x: jnp.ndarray, pos: jnp.ndarray, pad: jnp.ndarray,   # (B, W) left-padded
@@ -352,6 +492,7 @@ def _predict_nw_compiled(
     tables: DecodeTables,
     temperatures: jnp.ndarray, top_p: jnp.ndarray, min_bars: jnp.ndarray,
     rng: jax.Array, settings: SamplerSettings, mem_len: int,
+    kernel: str = "xla", stacked=None,
 ):
     B = x.shape[0]
     logits, cache = mt.lm_prefill(params, cfg, x, pos, pad, mem_len=mem_len)
@@ -369,6 +510,89 @@ def _predict_nw_compiled(
     overlay = jnp.ones((logits.shape[-1],), bool)
 
     step_keys = jax.random.split(rng, settings.n_words)  # one vectorized split
+
+    if kernel != "xla":
+        M = mem_len
+        D = cfg.d_model
+        L, H, Dh = cfg.dec_layers, cfg.n_heads, cfg.d_head
+        HD = H * Dh
+        embed32 = params["embed"].astype(jnp.float32)
+        head_b = params.get("head_b")
+
+        def head_of(h_row):
+            logits = h_row @ embed32.T
+            if head_b is not None:
+                logits = logits + head_b.astype(jnp.float32)
+            return logits
+
+        if kernel in ("slab", "slab_w8"):
+            from ..ops.fused_decode import quantize_kv_slot_major
+            from ..ops.fused_s2s import fused_nw_slab_core
+            w_scales = None
+            stk = stacked
+            if kernel == "slab_w8":
+                stk, w_scales = stacked
+            kt_s = ring.k.transpose(0, 1, 3, 2, 4).reshape(L, 1, M, HD)
+            vc_s = ring.v.transpose(0, 1, 3, 2, 4).reshape(L, 1, M, HD)
+            kq, ksc, vq, vsc = quantize_kv_slot_major(kt_s, vc_s)
+            wkr_mt = wkr_all.transpose(0, 2, 1, 3).reshape(L, M + 1, HD)
+
+            def step(carry, inp_):
+                i, sub = inp_
+                kq, ksc, vq, vsc, g, ptr, g_cur, st, logits = carry
+                idx, st = sample_next_token(
+                    logits, st, tables, temperatures, top_p, min_bars,
+                    overlay, sub, settings,
+                    i.astype(jnp.float32) / settings.n_words)
+                emb = mt.embed_tokens(params, cfg, idx[:, None],
+                                      st.last_pos[:, None])[:, 0]
+                dist = g_cur - g
+                blocked = ((dist < 1) | (dist > M)).astype(jnp.int32)
+                h_out, kq, ksc, vq, vsc = fused_nw_slab_core(
+                    stk, cfg, emb.astype(jnp.float32), wkr_mt,
+                    kq, ksc, vq, vsc, blocked, ptr, M,
+                    weights_int8=(kernel == "slab_w8"), w_scales=w_scales)
+                logits = head_of(h_out)
+                g = jax.lax.dynamic_update_slice(
+                    g, jnp.broadcast_to(g_cur, (B, 1)).astype(jnp.int32),
+                    (0, ptr))
+                return (kq, ksc, vq, vsc, g, (ptr + 1) % M, g_cur + 1, st,
+                        logits), idx
+
+            carry0 = (kq, ksc, vq, vsc, ring.g, ring.ptr, ring.g_cur, st0,
+                      logits)
+            (*_, st, _), toks = jax.lax.scan(
+                step, carry0, (jnp.arange(settings.n_words), step_keys))
+            return toks.T, st.n_emitted
+
+        # 'fused': exact-bf16 attention-only sweep
+        from ..ops.fused_s2s import fused_nw_step_core
+        kt0 = ring.k.transpose(0, 1, 2, 4, 3)
+        wkr_t = wkr_all.transpose(0, 1, 3, 2)
+
+        def step(carry, inp_):
+            i, sub = inp_
+            kt, vc, g, ptr, g_cur, st, logits = carry
+            idx, st = sample_next_token(
+                logits, st, tables, temperatures, top_p, min_bars, overlay,
+                sub, settings, i.astype(jnp.float32) / settings.n_words)
+            emb = mt.embed_tokens(params, cfg, idx[:, None],
+                                  st.last_pos[:, None])[:, 0]
+            h_in = jnp.zeros((8, D), jnp.float32).at[0].set(
+                emb[0].astype(jnp.float32))
+            dist = g_cur - g
+            blocked = ((dist < 1) | (dist > M)).astype(jnp.int32)
+            h_out, kt, vc = fused_nw_step_core(stacked, cfg, h_in, wkr_t,
+                                               kt, vc, blocked, ptr, M)
+            logits = head_of(h_out[0:1])
+            g = jax.lax.dynamic_update_slice(
+                g, jnp.broadcast_to(g_cur, (B, 1)).astype(jnp.int32), (0, ptr))
+            return (kt, vc, g, (ptr + 1) % M, g_cur + 1, st, logits), idx
+
+        carry0 = (kt0, ring.v, ring.g, ring.ptr, ring.g_cur, st0, logits)
+        (*_, st, _), toks = jax.lax.scan(
+            step, carry0, (jnp.arange(settings.n_words), step_keys))
+        return toks.T, st.n_emitted
 
     def step(carry, inp):
         i, sub = inp
@@ -388,12 +612,15 @@ def _predict_nw_compiled(
 class NWEngine:
     """predict_nw host wrapper (remix:2491-2561 contract)."""
 
-    def __init__(self, params: Dict, cfg: MultitaskConfig, vocab: MusicVocab):
+    def __init__(self, params: Dict, cfg: MultitaskConfig, vocab: MusicVocab,
+                 decode_kernel: str = "auto"):
         if cfg.dtype == "bfloat16":
             from ..models.precision import cast_params_for_inference
             params = cast_params_for_inference(params)
         self.params, self.cfg, self.vocab = params, cfg, vocab
         self.tables = build_tables(vocab, "twotemp")
+        self.kernel = _pick_dec_kernel(cfg, decode_kernel)
+        self._stacked = _build_stacked(params, self.kernel)
 
     def predict_nw(self, idxenc: np.ndarray, n_words: int = 128,
                    temperatures=(1.0, 1.0), min_bars: int = 4,
@@ -421,5 +648,6 @@ class NWEngine:
             jnp.asarray(pad), jnp.asarray([pos[-1] if len(pos) else 0]).astype(jnp.int32),
             self.tables, jnp.asarray(temps), jnp.asarray(np.float32(top_p)),
             jnp.asarray(np.int32(min_bars)), jax.random.PRNGKey(seed),
-            settings, self.cfg.mem_len)
+            settings, self.cfg.mem_len, kernel=self.kernel,
+            stacked=self._stacked)
         return np.asarray(toks)[0, : int(np.asarray(lengths)[0])]
