@@ -318,20 +318,37 @@ def run_train_bench():
     B, L = 32, 512
     opt = train_loop.make_optimizer(total_steps=1000)
     state = train_loop.init_train_state(jax.random.PRNGKey(0), cfg, opt, B)
-    step = jax.jit(train_loop.make_train_step(cfg, opt, vocab.pad_idx))
     rng = np.random.default_rng(0)
     batch = {"x": jnp.asarray(rng.integers(4, len(vocab), (B, L)), jnp.int32),
              "y": jnp.asarray(rng.integers(4, len(vocab), (B, L)), jnp.int32),
              "pos": jnp.asarray(rng.integers(0, 400, (B, L)), jnp.int32)}
     key = jax.random.PRNGKey(1)
-    state, m = step(state, batch, key)           # compile (cached) + warm
-    jax.block_until_ready(m["loss"])
     n_steps = 20
-    t0 = time.time()
-    for _ in range(n_steps):
-        state, m = step(state, batch, key)
-    jax.block_until_ready(m["loss"])
-    dt = time.time() - t0
+
+    def measure(flash):
+        st = state
+        step = jax.jit(train_loop.make_train_step(cfg, opt, vocab.pad_idx,
+                                                  flash=flash))
+        st, m = step(st, batch, key)             # compile (cached) + warm
+        jax.block_until_ready(m["loss"])
+        t0 = time.time()
+        for _ in range(n_steps):
+            st, m = step(st, batch, key)
+        jax.block_until_ready(m["loss"])
+        return time.time() - t0
+
+    # XLA score path first (proven, cheap compile); then the Pallas
+    # fwd+bwd flash attention (ops/flash_train.py) if budget remains.
+    dt = measure(False)
+    if budget_left() > 120:
+        try:
+            dt_flash = measure(None)             # auto: flash on TPU
+            bank("train_flash",
+                 train_flash_step_ms=round(1000 * dt_flash / n_steps, 1),
+                 train_xla_step_ms=round(1000 * dt / n_steps, 1))
+            dt = min(dt, dt_flash)
+        except Exception as e:
+            log("flash train step failed:", e)
     toks = n_steps * B * L
     tps = toks / dt
 

@@ -141,15 +141,43 @@ def _wkr(lp, r, H, Dh):
     return y.reshape(K, H, Dh).transpose(1, 0, 2)
 
 
-def _block(lp, cfg: TXLConfig, h, h_ctx, r, u, v, mask, rngs, train):
-    """One post-norm TXL block: rel-attention over [mem, x] then FFN."""
+def _block(lp, cfg: TXLConfig, h, h_ctx, r, u, v, mask, rngs, train,
+           flash_args=None):
+    """One post-norm TXL block: rel-attention over [mem, x] then FFN.
+
+    ``flash_args = (win_size, win_k, mem_valid, pad_mask)`` switches the
+    attention to the differentiable Pallas flash kernel
+    (ops/flash_train.py): scores never materialize in HBM in either the
+    forward or the backward pass, and the mask is rebuilt in-kernel from the
+    same window parameters (`mask` is then unused)."""
     H, Dh = cfg.n_heads, cfg.d_head
-    q, _, _ = _qkv(lp, h, H, Dh)
-    _, k, vv = _qkv(lp, h_ctx, H, Dh)
-    wkr = _wkr(lp, r, H, Dh)
-    attn = rel_attention(q, k, vv, wkr, u, v, mask=mask, scale=cfg.scale, shift=True)
-    B, _, L, _ = attn.shape
-    attn = attn.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
+    HD = H * Dh
+    if flash_args is not None:
+        from ..ops.flash_train import flash_train_attention
+        win_size, win_k, mem_valid, pad_mask = flash_args
+        dt = h.dtype
+        w = lp["qkv_w"].astype(dt)
+        q = h @ w[:, :HD]
+        kv = h_ctx @ w[:, HD:]
+        if lp["qkv_b"] is not None:
+            bqkv = lp["qkv_b"].astype(dt)
+            q = q + bqkv[:HD]
+            kv = kv + bqkv[HD:]
+        k, vv = kv[..., :HD], kv[..., HD:]
+        wkr_flat = r @ lp["r_w"].astype(dt)
+        if lp["r_b"] is not None:
+            wkr_flat = wkr_flat + lp["r_b"].astype(dt)
+        attn = flash_train_attention(q, k, vv, wkr_flat, u, v,
+                                     win_size, win_k, mem_valid, H,
+                                     pad_mask=pad_mask, scale=cfg.scale)
+    else:
+        q, _, _ = _qkv(lp, h, H, Dh)
+        _, k, vv = _qkv(lp, h_ctx, H, Dh)
+        wkr = _wkr(lp, r, H, Dh)
+        attn = rel_attention(q, k, vv, wkr, u, v, mask=mask, scale=cfg.scale,
+                             shift=True)
+        B, _, L, _ = attn.shape
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, L, HD)
     out = attn @ lp["out_w"].astype(attn.dtype)
     if lp["out_b"] is not None:
         out = out + lp["out_b"].astype(out.dtype)
@@ -190,8 +218,15 @@ def forward(
     win_size: int = 1,
     win_k: int = 1,
     pad_mask: Optional[jnp.ndarray] = None,  # (B, L) True where x is padding
+    flash: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, TXLState]:
-    """Full-window forward. Returns (logits (B, L, V), new_state)."""
+    """Full-window forward. Returns (logits (B, L, V), new_state).
+
+    ``flash``: route every layer's attention through the differentiable
+    Pallas flash kernel (ops/flash_train.py) instead of the XLA score path
+    that materializes (B, H, L, M+L) scores in HBM fwd AND bwd (auto: TPU
+    backend, bf16, B >= 8, 128-aligned L and M+L). The window arguments may
+    be traced either way (the curriculum never recompiles)."""
     B, L = x.shape
     dt = cfg.act_dtype
     emb = params["embed"][x].astype(dt)
@@ -204,13 +239,23 @@ def forward(
     M = state.mem.shape[2] if state is not None else 0
     seq = M + L
     r = backwards_pos_enc(seq, cfg.d_model, dtype=dt)
-    mask = causal_window_mask(L, M, win_size, win_k,
-                              mem_valid=state.valid if state is not None else None)
-    if pad_mask is not None:
-        # block attention *to* padded positions of the current window
-        blocked_cols = jnp.concatenate(
-            [jnp.zeros((B, M), bool), pad_mask], axis=1)[:, None, None, :]
-        mask = mask | blocked_cols
+    if flash is None:
+        flash = (jax.default_backend() == "tpu" and dt == jnp.bfloat16
+                 and B >= 8 and L % 128 == 0 and seq % 128 == 0
+                 and seq <= 2048)
+    if flash:
+        mask = None
+        flash_args = (win_size, win_k,
+                      state.valid if state is not None else 0, pad_mask)
+    else:
+        flash_args = None
+        mask = causal_window_mask(L, M, win_size, win_k,
+                                  mem_valid=state.valid if state is not None else None)
+        if pad_mask is not None:
+            # block attention *to* padded positions of the current window
+            blocked_cols = jnp.concatenate(
+                [jnp.zeros((B, M), bool), pad_mask], axis=1)[:, None, None, :]
+            mask = mask | blocked_cols
 
     new_mem_layers = []
     for i, lp in enumerate(params["layers"]):
@@ -222,7 +267,7 @@ def forward(
             h_ctx = h
         layer_rngs = rngs[1 + 3 * i:4 + 3 * i] if rngs else None
         h = _block(lp, cfg, h, h_ctx, r, params["u"].astype(dt), params["v"].astype(dt),
-                   mask, layer_rngs, train)
+                   mask, layer_rngs, train, flash_args=flash_args)
 
     out = _dropout(h, cfg.output_p, None if rngs is None else jax.random.fold_in(rngs[0], 1), train)
     logits = out.astype(jnp.float32) @ params["embed"].T.astype(jnp.float32)

@@ -1,0 +1,177 @@
+"""Parity tests for the flash TRAINING attention (ops/flash_train.py).
+
+Runs the Pallas kernels in interpreter mode on the CPU test backend and
+compares — forward AND gradients — against the XLA reference path
+(ops/rel_attention.py::rel_attention + causal_window_mask), which is itself
+torch-oracle-tested. Shapes are small but exercise K != L (XL memory),
+the window-mask curriculum, partial memory validity, and key padding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepmusicgeneration_tpu.ops.flash_train import flash_train_attention
+from deepmusicgeneration_tpu.ops.rel_attention import (causal_window_mask,
+                                                       rel_attention)
+
+B, H, Dh, L, M = 2, 2, 64, 128, 128
+HD, K = H * Dh, M + L
+
+
+def _inputs(dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    r = lambda *s: jnp.asarray(rng.normal(size=s) * 0.3, dtype)
+    return dict(q=r(B, L, HD), k=r(B, K, HD), v=r(B, K, HD), wkr=r(K, HD),
+                u=r(H, Dh), vb=r(H, Dh))
+
+
+def _ref(q, k, v, wkr, u, vb, win_size, win_k, mem_valid, pad=None):
+    split = lambda t, n: t.reshape(B, n, H, Dh).transpose(0, 2, 1, 3)
+    mask = causal_window_mask(L, M, win_size, win_k,
+                              mem_valid=jnp.asarray(mem_valid))
+    if pad is not None:
+        cols = jnp.concatenate([jnp.zeros((B, M), bool), pad], axis=1)
+        mask = mask | cols[:, None, None, :]
+    out = rel_attention(split(q, L), split(k, K), split(v, K),
+                        wkr.reshape(K, H, Dh).transpose(1, 0, 2),
+                        u[:, None, :], vb[:, None, :], mask=mask,
+                        scale=True, shift=True)
+    return out.transpose(0, 2, 1, 3).reshape(B, L, HD)
+
+
+def _flash(q, k, v, wkr, u, vb, win_size, win_k, mem_valid, pad=None):
+    return flash_train_attention(q, k, v, wkr, u, vb, win_size, win_k,
+                                 mem_valid, H, pad_mask=pad, interpret=True)
+
+
+CASES = [  # (win_size, win_k, mem_valid) — the train step's real regimes:
+    # plain causal is (1, 1), an active curriculum window is (>1, 0)
+    # (train/loop.py::make_train_step). win_size>1 with win_k=1 would let
+    # queries see forward within their window, where the XLA path reads
+    # rel_shift spill values — out of the kernel's contract (documented).
+    (1, 1, M),        # plain causal, full memory
+    (1, 1, 0),        # plain causal, empty memory (first step)
+    (4, 0, M // 2),   # curriculum window, half-valid memory
+    (16, 0, M),
+]
+
+
+@pytest.mark.parametrize("win_size,win_k,mem_valid", CASES)
+def test_forward_parity(win_size, win_k, mem_valid):
+    a = _inputs(jnp.float32)
+    want = _ref(**a, win_size=win_size, win_k=win_k, mem_valid=mem_valid)
+    got = _flash(**a, win_size=win_size, win_k=win_k, mem_valid=mem_valid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-5)
+
+
+def test_forward_parity_padded():
+    a = _inputs(jnp.float32, seed=3)
+    pad = jnp.zeros((B, L), bool).at[0, :7].set(True).at[1, :31].set(True)
+    want = _ref(**a, win_size=1, win_k=1, mem_valid=M, pad=pad)
+    got = _flash(**a, win_size=1, win_k=1, mem_valid=M, pad=pad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-5)
+
+
+def test_forward_parity_traced_window():
+    """win_size/win_k/mem_valid arrive as traced scalars (the curriculum)."""
+    a = _inputs(jnp.float32, seed=4)
+    f = jax.jit(lambda ws, wk, mv: _flash(**a, win_size=ws, win_k=wk,
+                                          mem_valid=mv))
+    for ws, wk, mv in ((1, 1, M), (8, 0, 16)):
+        want = _ref(**a, win_size=ws, win_k=wk, mem_valid=mv)
+        got = f(jnp.asarray(ws), jnp.asarray(wk), jnp.asarray(mv))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=2e-5)
+
+
+@pytest.mark.parametrize("win_size,win_k,mem_valid", CASES[:3])
+def test_grad_parity(win_size, win_k, mem_valid):
+    a = _inputs(jnp.float32, seed=1)
+    probe = jnp.asarray(
+        np.random.default_rng(9).normal(size=(B, L, HD)), jnp.float32)
+    names = ("q", "k", "v", "wkr", "u", "vb")
+
+    def loss(fn, args):
+        out = fn(*args, win_size=win_size, win_k=win_k, mem_valid=mem_valid)
+        return jnp.sum(out * probe)
+
+    args = tuple(a[n] for n in names)
+    g_ref = jax.grad(lambda *t: loss(_ref, t), argnums=range(6))(*args)
+    g_fl = jax.grad(lambda *t: loss(_flash, t), argnums=range(6))(*args)
+    for name, gr, gf in zip(names, g_ref, g_fl):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=0, atol=5e-4,
+            err_msg=f"grad mismatch for {name} "
+                    f"(win={win_size},{win_k} mv={mem_valid})")
+
+
+def test_grad_parity_bf16():
+    """bf16 activations (the training dtype): loose tolerance, same shapes."""
+    a = _inputs(jnp.bfloat16, seed=2)
+    probe = jnp.asarray(
+        np.random.default_rng(8).normal(size=(B, L, HD)), jnp.float32)
+
+    def loss(fn):
+        out = fn(**a, win_size=1, win_k=1, mem_valid=M)
+        return jnp.sum(out.astype(jnp.float32) * probe)
+
+    g_ref = jax.grad(lambda q: loss(
+        lambda **kw: _ref(**{**kw, "q": q})))(a["q"])
+    g_fl = jax.grad(lambda q: loss(
+        lambda **kw: _flash(**{**kw, "q": q})))(a["q"])
+    ref32, fl32 = np.asarray(g_ref, np.float32), np.asarray(g_fl, np.float32)
+    denom = np.abs(ref32).mean() + 1e-6
+    assert np.abs(fl32 - ref32).mean() / denom < 0.05
+
+
+def test_txl_forward_flash_end_to_end():
+    """txl.forward(flash=True) == flash=False — logits and parameter grads —
+    on a tiny 2-layer model (kernel in interpret mode on CPU)."""
+    from unittest import mock
+
+    from deepmusicgeneration_tpu.models import txl
+    from deepmusicgeneration_tpu.models.config import TXLConfig
+    from deepmusicgeneration_tpu.ops import flash_train
+
+    cfg = TXLConfig(vocab_size=64, n_layers=2, d_model=128, d_inner=256,
+                    n_heads=2, d_head=64, ctx_len=128, mem_len=128,
+                    dtype="float32", embed_p=0.0, resid_p=0.0, ff_p=0.0,
+                    output_p=0.0)
+    params = txl.init_txl(jax.random.PRNGKey(0), cfg)
+    state = txl.init_state(cfg, batch=2)
+    state = state._replace(valid=jnp.asarray(64, jnp.int32))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.integers(0, 64, (2, 128)), jnp.int32)
+    y = jnp.asarray(rng.integers(0, 64, (2, 128)), jnp.int32)
+
+    def loss(p, flash):
+        logits, _ = txl.forward(p, cfg, x, state=state, train=False,
+                                win_size=4, win_k=0, flash=flash)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        return -jnp.take_along_axis(lp, y[..., None], axis=-1).mean()
+
+    orig = flash_train.flash_train_attention
+    interp = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    l_ref, g_ref = jax.value_and_grad(loss)(params, False)
+    with mock.patch.object(flash_train, "flash_train_attention", interp):
+        l_fl, g_fl = jax.value_and_grad(loss)(params, True)
+
+    np.testing.assert_allclose(float(l_fl), float(l_ref), rtol=1e-5)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_fl = dict(jax.tree_util.tree_leaves_with_path(g_fl))
+    checked = 0
+    for path, gr in flat_ref:
+        gf = flat_fl[path]
+        if gr is None:
+            assert gf is None
+            continue
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=0,
+            atol=5e-4 * (abs(np.asarray(gr)).max() + 1.0),
+            err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
+        checked += 1
+    assert checked > 10
