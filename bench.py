@@ -370,6 +370,65 @@ def run_train_bench():
          train_shape={"batch": B, "bptt": L})
 
 
+def run_multitask_train_bench():
+    """85M multitask s2s train step (enc + dec + cross), bs 16, bptt 512:
+    XLA score path vs the differentiable flash kernels (ops/flash_train.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from deepmusicgeneration_tpu.models import multitask as mt
+    from deepmusicgeneration_tpu.models.config import multitask_config
+    from deepmusicgeneration_tpu.train import loop as train_loop
+
+    cfg = multitask_config(324)
+    params = mt.init_multitask(jax.random.PRNGKey(0), cfg)
+    B, L = 16, 512
+    rng = np.random.default_rng(0)
+    tok = lambda: jnp.asarray(rng.integers(4, 324, (B, L)), jnp.int32)
+    pos = lambda: jnp.asarray(rng.integers(0, 400, (B, L)), jnp.int32)
+    xd = {"s2f": {"enc": tok(), "enc_pos": pos(),
+                  "dec": tok(), "dec_pos": pos()}}
+    yd = {"s2f": tok()}
+    opt = train_loop.make_optimizer(total_steps=1000)
+    opt_state = opt.init(params)
+    n_steps = 10
+
+    def measure(ft, remat):
+        @jax.jit
+        def step(p, os_):
+            def loss_fn(p):
+                out = mt.forward(p, cfg, xd, pad_idx=1, remat=remat,
+                                 flash_train=ft)
+                return train_loop.multi_loss(out, yd, 1)
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            upd, os2 = opt.update(grads, os_, p)
+            import optax
+            return optax.apply_updates(p, upd), os2, loss
+        p, os_, loss = step(params, opt_state)
+        jax.block_until_ready(loss)
+        t0 = time.time()
+        for _ in range(n_steps):
+            p, os_, loss = step(p, os_)
+        jax.block_until_ready(loss)
+        return time.time() - t0
+
+    detail = {}
+    # the XLA path needs remat to fit 16 GB at 85M; flash does not
+    dt_x = measure(False, True)
+    detail["mt_train_xla_remat_step_ms"] = round(1000 * dt_x / n_steps, 1)
+    best = dt_x
+    if budget_left() > 120:
+        try:
+            dt_f = measure(None, False)
+            detail["mt_train_flash_step_ms"] = round(1000 * dt_f / n_steps, 1)
+            best = min(best, dt_f)
+        except Exception as e:
+            log("mt flash train failed:", e)
+    detail["mt_train_tokens_per_sec"] = round(n_steps * B * L / best, 1)
+    log(f"mt train (s2s 85M): {detail}")
+    bank("mt_train", **detail)
+
+
 def cpu_baseline() -> float:
     if os.path.exists(CACHE_PATH):
         try:
@@ -472,6 +531,11 @@ def main():
                 run_train_bench()
             except Exception as e:
                 log("train bench failed:", e)
+        if budget_left() > 150:
+            try:
+                run_multitask_train_bench()
+            except Exception as e:
+                log("multitask train bench failed:", e)
         if base <= 0.0 and budget_left() > 120:
             base = cpu_baseline()
             if base > 0:

@@ -226,6 +226,68 @@ def _flash_self_attn(ap, cfg: MultitaskConfig, h, pad_cols, u, v,
     return _layer_norm(h + attn, ap["ln_g"], ap["ln_b"])
 
 
+def _flash_train_ok(cfg: MultitaskConfig, B: int, L: int,
+                    Le: Optional[int], flag: Optional[bool]) -> bool:
+    """Auto rule for the DIFFERENTIABLE Pallas attention (ops/flash_train.py)
+    in the train step: TPU, bf16, batched, 128-aligned lane tiling, and
+    W <= 512 to bound the Mosaic per-head-unroll compile time (the W=1024
+    fwd-only encoder kernel took ~12 min to compile — docs/PERF.md)."""
+    if flag is not None:
+        return flag
+    return (jax.default_backend() == "tpu" and cfg.act_dtype == jnp.bfloat16
+            and B >= 8 and L % 128 == 0 and L <= 512
+            and (Le is None or (Le % 128 == 0 and Le <= 512)))
+
+
+def _lin(x, w, b):
+    y = x @ w.astype(x.dtype)
+    return y + b.astype(y.dtype) if b is not None else y
+
+
+def _wkr_flat(ap, r, K: int):
+    w = r[-K:] @ ap["r_w"].astype(r.dtype)
+    if ap["r_b"] is not None:
+        w = w + ap["r_b"].astype(w.dtype)
+    return w
+
+
+def _flash_train_block(bp, cfg: MultitaskConfig, h, is_decoder, enc_out,
+                       r, u, v, win_size, win_k, pad_cols):
+    """One MTEncoderBlock on the differentiable flash kernels: decoder
+    self-attn → causal-window kernel (M=0), encoder self-attn → exact-spill
+    bidirectional kernel, cross-attn → tril'd-BD kernel; post-norms and FFN
+    outside (same math as _attn_apply/_ff)."""
+    from ..ops.flash_train import (flash_bidir_attention,
+                                   flash_cross_attention,
+                                   flash_train_attention)
+    L = h.shape[1]
+    ap = bp["mha1"]
+    q = _lin(h, ap["q_w"], ap["q_b"])
+    k = _lin(h, ap["k_w"], ap["k_b"])
+    vv = _lin(h, ap["v_w"], ap["v_b"])
+    wkr = _wkr_flat(ap, r, L)
+    if is_decoder:
+        # causal window mask (the 'lm'/s2s-dec path), no XL memory: M=0
+        attn = flash_train_attention(q, k, vv, wkr, u, v, win_size, win_k,
+                                     0, cfg.n_heads, pad_mask=pad_cols,
+                                     scale=cfg.scale)
+    else:
+        attn = flash_bidir_attention(q, k, vv, wkr, u, v, cfg.n_heads,
+                                     pad_mask=pad_cols, scale=cfg.scale)
+    h = _layer_norm(h + attn, ap["ln_g"], ap["ln_b"])
+    if enc_out is not None:
+        ap2 = bp["mha2"]
+        q2 = _lin(h, ap2["q_w"], ap2["q_b"])
+        k2 = _lin(enc_out, ap2["k_w"], ap2["k_b"])
+        v2 = _lin(enc_out, ap2["v_w"], ap2["v_b"])
+        wkr2 = _wkr_flat(ap2, r, enc_out.shape[1])
+        attn2 = flash_cross_attention(q2, k2, v2, wkr2, u, v, cfg.n_heads,
+                                      scale=cfg.scale)
+        h = _layer_norm(h + attn2, ap2["ln_g"], ap2["ln_b"])
+        h = _ff(bp, cfg, h)
+    return h
+
+
 def stack_forward(
     stack: Dict,
     cfg: MultitaskConfig,
@@ -238,6 +300,7 @@ def stack_forward(
     win_k: int = 1,
     flash: Optional[bool] = None,
     remat: bool = False,
+    flash_train: Optional[bool] = None,
 ) -> jnp.ndarray:
     """MTEncoder.forward (remix:1985-2003): all blocks share u/v and one r
     table over max(L, Le) + mem_len positions. ``win_size``/``win_k`` select
@@ -261,19 +324,27 @@ def stack_forward(
                                  causal=False)
         return h
 
-    if self_mask is None:
-        self_mask = _causal_mask(L, win_size, win_k) if is_decoder else None
-    if pad_cols is not None:
-        pc = pad_cols[:, None, None, :]
-        self_mask = pc if self_mask is None else (self_mask | pc)
+    if (self_mask is None
+            and _flash_train_ok(cfg, B, L,
+                                enc_out.shape[1] if enc_out is not None else None,
+                                flash_train)):
+        def one_block(bp, h):
+            return _flash_train_block(bp, cfg, h, is_decoder, enc_out, r,
+                                      u, v, win_size, win_k, pad_cols)
+    else:
+        if self_mask is None:
+            self_mask = _causal_mask(L, win_size, win_k) if is_decoder else None
+        if pad_cols is not None:
+            pc = pad_cols[:, None, None, :]
+            self_mask = pc if self_mask is None else (self_mask | pc)
 
-    def one_block(bp, h):
-        h = _attn_apply(bp["mha1"], cfg, h, h, r, u, v, self_mask, r_mask=False)
-        if enc_out is not None:
-            h = _attn_apply(bp["mha2"], cfg, h, enc_out, r, u, v, None, r_mask=True)
-            h = _ff(bp, cfg, h)
-        # reference quirk: no cross input → attention-only block (no FFN)
-        return h
+        def one_block(bp, h):
+            h = _attn_apply(bp["mha1"], cfg, h, h, r, u, v, self_mask, r_mask=False)
+            if enc_out is not None:
+                h = _attn_apply(bp["mha2"], cfg, h, enc_out, r, u, v, None, r_mask=True)
+                h = _ff(bp, cfg, h)
+            # reference quirk: no cross input → attention-only block (no FFN)
+            return h
 
     block = jax.checkpoint(one_block) if remat else one_block
     for bp in stack["layers"]:
@@ -296,22 +367,29 @@ def forward(
     win_size: int = 1,
     win_k: int = 1,
     remat: bool = False,
+    flash_train: Optional[bool] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """Route task dict → logits dict (MultiTransformer.forward)."""
+    """Route task dict → logits dict (MultiTransformer.forward).
+
+    flash=False throughout: the fwd-only Pallas score path is
+    inference-only (encode/prefills). ``flash_train`` instead routes every
+    attention through the DIFFERENTIABLE flash kernels
+    (ops/flash_train.py — causal-window, exact-spill bidirectional, and
+    tril'd cross variants; auto on TPU for bf16, B >= 8, 128-aligned
+    W <= 512), which keep scores in VMEM in forward AND backward."""
     out = {}
-    # flash=False throughout: `forward` is the TRAINING entry and pallas_call
-    # has no VJP — the Pallas score path is inference-only (encode/prefills)
     if "msk" in inp and inp["msk"] is not None:
         d = inp["msk"]
         h = embed_tokens(params, cfg, d["x"], d.get("pos"), pad_idx)
         h = stack_forward(params["encoder"], cfg, h, is_decoder=False,
-                          flash=False, remat=remat)
+                          flash=False, remat=remat, flash_train=flash_train)
         out["msk"] = head(params, cfg, h)
     if "lm" in inp and inp["lm"] is not None:
         d = inp["lm"]
         h = embed_tokens(params, cfg, d["x"], d.get("pos"), pad_idx)
         h = stack_forward(params["decoder"], cfg, h, is_decoder=True,
-                          win_size=win_size, win_k=win_k, remat=remat)
+                          win_size=win_size, win_k=win_k, remat=remat,
+                          flash_train=flash_train)
         out["lm"] = head(params, cfg, h)
     for key in ("s2f", "f2s", "c2m", "m2c"):
         if key in inp and inp[key] is not None:
@@ -319,11 +397,12 @@ def forward(
             eh = embed_tokens(params, cfg, d["enc"], d.get("enc_pos"), pad_idx)
             eh = stack_forward(params["encoder"], cfg, eh, is_decoder=False,
                                pad_cols=d.get("enc_pad"), flash=False,
-                               remat=remat)
+                               remat=remat, flash_train=flash_train)
             dh = embed_tokens(params, cfg, d["dec"], d.get("dec_pos"), pad_idx)
             dh = stack_forward(params["decoder"], cfg, dh, is_decoder=True,
                                enc_out=eh, pad_cols=d.get("dec_pad"),
-                               win_size=win_size, win_k=win_k, remat=remat)
+                               win_size=win_size, win_k=win_k, remat=remat,
+                               flash_train=flash_train)
             out[key] = head(params, cfg, dh)
     return out
 

@@ -280,6 +280,337 @@ def _make_flash_train(B: int, L: int, K: int, H: int, Dh: int,
     return attn
 
 
+# ---------------------------------------------------------------------------
+# Multitask variants: bidirectional (exact rel_shift spill) and cross (tril'd
+# BD band) — the two other attention shapes the multitask TRAIN step runs
+# (models/multitask.py::_attn_apply; reference deep_music_remix.py:2025-2104).
+# ---------------------------------------------------------------------------
+
+
+def _skew_bidir(bd, rows, cols, W: int):
+    """EXACT `rel_shift` on a square (W, W) grid, spill included (the
+    bidirectional encoder reads the cross-row spill — see
+    ops/flash_prefill.py::_make_encoder_kernel, same construction):
+
+        out[i, j] = bd[i, j + (W-1-i)]  (j <= i)   | 0 (j == i+1)
+                  | bd[i+1, j-i-2]      (j >= i+2)
+    """
+    r1 = pltpu.roll(bd, 1, 1, stride=1, stride_axis=0)
+    bd_up = pltpu.roll(bd, W - 1, 0)
+    r2 = pltpu.roll(pltpu.roll(bd_up, 1, 1), 1, 1, stride=1, stride_axis=0)
+    return jnp.where(cols <= rows, r1,
+                     jnp.where(cols == rows + 1, 0.0, r2))
+
+
+def _unskew_bidir(ds, rows, cols, rows_i, W: int):
+    """Adjoint of :func:`_skew_bidir`: the j <= i band scatters back through
+    the causal unskew; the spill band (j >= i+2, read from row i+1) scatters
+    through a row-shift + the SAME unskew; the pad column (j == i+1)
+    contributes nothing. Masks are f32 blends, rolls are constant/strided."""
+    tril_m = (cols <= rows).astype(jnp.float32)
+    a = _unskew(ds * tril_m, rows_i, W, W)
+    band_m = ((cols >= rows + 1) & (rows >= 1)).astype(jnp.float32)
+    ds_dn = pltpu.roll(ds, 1, 0)                   # row p ← row p-1
+    b = _unskew(ds_dn * band_m, rows_i, W, W)
+    return a + b
+
+
+def _make_bidir_fwd_kernel(W: int, H: int, Dh: int, scale: bool):
+    sc = 1.0 / math.sqrt(Dh) if scale else 1.0
+
+    def kernel(pad_ref, q_ref, k_ref, v_ref, wkr_ref, u_ref, vb_ref, o_ref,
+               o_scr):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+        blocked = jnp.broadcast_to((pad_ref[0, 0, :] != 0)[None, :], (W, W))
+        for h in range(H):
+            sl = pl.ds(h * Dh, Dh)
+            qh = q_ref[0, :, sl].astype(jnp.float32)
+            kh = k_ref[0, :, sl]
+            wh = wkr_ref[0, :, sl]
+            qu = (qh + u_ref[0, 0:1, sl].astype(jnp.float32)).astype(kh.dtype)
+            qv = (qh + vb_ref[0, 0:1, sl].astype(jnp.float32)).astype(kh.dtype)
+            ac = jax.lax.dot_general(qu, kh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            bd = jax.lax.dot_general(qv, wh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            score = (ac + _skew_bidir(bd, rows, cols, W)) * sc
+            score = jnp.where(blocked, NEG_INF, score)
+            m = jnp.max(score, axis=1, keepdims=True)
+            e = jnp.exp(score - m)
+            prob = (e / jnp.sum(e, axis=1, keepdims=True)).astype(kh.dtype)
+            o_scr[:, sl] = jax.lax.dot_general(
+                prob, v_ref[0, :, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        o_ref[0, :, :] = o_scr[:, :].astype(o_ref.dtype)
+
+    return kernel
+
+
+def _make_bidir_bwd_kernel(W: int, H: int, Dh: int, scale: bool):
+    sc = 1.0 / math.sqrt(Dh) if scale else 1.0
+
+    def kernel(pad_ref, q_ref, k_ref, v_ref, wkr_ref, u_ref, vb_ref,
+               do_ref, delta_ref,
+               dq_ref, dk_ref, dv_ref, dwkr_ref, du_ref, dvb_ref,
+               dk_scr, dv_scr):
+        b = pl.program_id(0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        blocked = jnp.broadcast_to((pad_ref[0, 0, :] != 0)[None, :], (W, W))
+
+        @pl.when(b == 0)
+        def _init():
+            dwkr_ref[:, :] = jnp.zeros_like(dwkr_ref)
+            du_ref[:, :] = jnp.zeros_like(du_ref)
+            dvb_ref[:, :] = jnp.zeros_like(dvb_ref)
+
+        for h in range(H):
+            sl = pl.ds(h * Dh, Dh)
+            qh = q_ref[0, :, sl].astype(jnp.float32)
+            kh = k_ref[0, :, sl]
+            vh = v_ref[0, :, sl]
+            wh = wkr_ref[0, :, sl]
+            qu = (qh + u_ref[0, 0:1, sl].astype(jnp.float32)).astype(kh.dtype)
+            qv = (qh + vb_ref[0, 0:1, sl].astype(jnp.float32)).astype(kh.dtype)
+            ac = jax.lax.dot_general(qu, kh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            bd = jax.lax.dot_general(qv, wh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            score = (ac + _skew_bidir(bd, rows, cols, W)) * sc
+            score = jnp.where(blocked, NEG_INF, score)
+            m = jnp.max(score, axis=1, keepdims=True)
+            e = jnp.exp(score - m)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            doh = do_ref[0, :, sl]
+            dlt = delta_ref[0, :, pl.ds(h, 1)]
+            dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - dlt) * sc
+            ds_b = ds.astype(kh.dtype)
+            p_b = p.astype(kh.dtype)
+            dv_scr[:, sl] = jax.lax.dot_general(
+                p_b, doh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dqu = jax.lax.dot_general(ds_b, kh, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dk_scr[:, sl] = jax.lax.dot_general(
+                ds_b, qu, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dbd = _unskew_bidir(ds, rows, cols, rows_i, W).astype(kh.dtype)
+            dqv = jax.lax.dot_general(dbd, wh, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dwkr_h = jax.lax.dot_general(dbd, qv, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            dq_ref[0, :, sl] = (dqu + dqv).astype(dq_ref.dtype)
+            dwkr_ref[:, sl] += dwkr_h
+            du_ref[0:1, sl] += jnp.sum(dqu, axis=0, keepdims=True)
+            dvb_ref[0:1, sl] += jnp.sum(dqv, axis=0, keepdims=True)
+        dk_ref[0, :, :] = dk_scr[:, :].astype(dk_ref.dtype)
+        dv_ref[0, :, :] = dv_scr[:, :].astype(dv_ref.dtype)
+
+    return kernel
+
+
+def _make_cross_fwd_kernel(L: int, K: int, H: int, Dh: int, scale: bool):
+    """Cross-attention: no mask at all (remix passes mask=None), but the BD
+    term is zeroed above the diagonal band (`_line_shift(mask=True)` —
+    tril(K-L) multiply, models/multitask.py::_attn_apply r_mask=True)."""
+    sc = 1.0 / math.sqrt(Dh) if scale else 1.0
+
+    def kernel(q_ref, k_ref, v_ref, wkr_ref, u_ref, vb_ref, o_ref, o_scr):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (L, K), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (L, K), 1)
+        band = (cols <= rows + (K - L)).astype(jnp.float32)
+        for h in range(H):
+            sl = pl.ds(h * Dh, Dh)
+            qh = q_ref[0, :, sl].astype(jnp.float32)
+            kh = k_ref[0, :, sl]
+            wh = wkr_ref[0, :, sl]
+            qu = (qh + u_ref[0, 0:1, sl].astype(jnp.float32)).astype(kh.dtype)
+            qv = (qh + vb_ref[0, 0:1, sl].astype(jnp.float32)).astype(kh.dtype)
+            ac = jax.lax.dot_general(qu, kh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            bd = jax.lax.dot_general(qv, wh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            score = (ac + _skew(bd, L, K) * band) * sc
+            m = jnp.max(score, axis=1, keepdims=True)
+            e = jnp.exp(score - m)
+            prob = (e / jnp.sum(e, axis=1, keepdims=True)).astype(kh.dtype)
+            o_scr[:, sl] = jax.lax.dot_general(
+                prob, v_ref[0, :, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        o_ref[0, :, :] = o_scr[:, :].astype(o_ref.dtype)
+
+    return kernel
+
+
+def _make_cross_bwd_kernel(L: int, K: int, H: int, Dh: int, scale: bool):
+    sc = 1.0 / math.sqrt(Dh) if scale else 1.0
+
+    def kernel(q_ref, k_ref, v_ref, wkr_ref, u_ref, vb_ref, do_ref, delta_ref,
+               dq_ref, dk_ref, dv_ref, dwkr_ref, du_ref, dvb_ref,
+               dk_scr, dv_scr):
+        b = pl.program_id(0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (L, K), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (L, K), 1)
+        band = (cols <= rows + (K - L)).astype(jnp.float32)
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+
+        @pl.when(b == 0)
+        def _init():
+            dwkr_ref[:, :] = jnp.zeros_like(dwkr_ref)
+            du_ref[:, :] = jnp.zeros_like(du_ref)
+            dvb_ref[:, :] = jnp.zeros_like(dvb_ref)
+
+        for h in range(H):
+            sl = pl.ds(h * Dh, Dh)
+            qh = q_ref[0, :, sl].astype(jnp.float32)
+            kh = k_ref[0, :, sl]
+            vh = v_ref[0, :, sl]
+            wh = wkr_ref[0, :, sl]
+            qu = (qh + u_ref[0, 0:1, sl].astype(jnp.float32)).astype(kh.dtype)
+            qv = (qh + vb_ref[0, 0:1, sl].astype(jnp.float32)).astype(kh.dtype)
+            ac = jax.lax.dot_general(qu, kh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            bd = jax.lax.dot_general(qv, wh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            score = (ac + _skew(bd, L, K) * band) * sc
+            m = jnp.max(score, axis=1, keepdims=True)
+            e = jnp.exp(score - m)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            doh = do_ref[0, :, sl]
+            dlt = delta_ref[0, :, pl.ds(h, 1)]
+            dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - dlt) * sc
+            ds_b = ds.astype(kh.dtype)
+            p_b = p.astype(kh.dtype)
+            dv_scr[:, sl] = jax.lax.dot_general(
+                p_b, doh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dqu = jax.lax.dot_general(ds_b, kh, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dk_scr[:, sl] = jax.lax.dot_general(
+                ds_b, qu, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dbd = _unskew(ds * band, rows_i, L, K).astype(kh.dtype)
+            dqv = jax.lax.dot_general(dbd, wh, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dwkr_h = jax.lax.dot_general(dbd, qv, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            dq_ref[0, :, sl] = (dqu + dqv).astype(dq_ref.dtype)
+            dwkr_ref[:, sl] += dwkr_h
+            du_ref[0:1, sl] += jnp.sum(dqu, axis=0, keepdims=True)
+            dvb_ref[0:1, sl] += jnp.sum(dqv, axis=0, keepdims=True)
+        dk_ref[0, :, :] = dk_scr[:, :].astype(dk_ref.dtype)
+        dv_ref[0, :, :] = dv_scr[:, :].astype(dv_ref.dtype)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _make_flash_mt(mode: str, B: int, L: int, K: int, H: int, Dh: int,
+                   scale: bool, dtype_name: str, interpret: bool):
+    """custom_vjp attention for the multitask train step: 'bidir' (L == K,
+    exact-spill rel_shift, pad-key masking) or 'cross' (tril'd BD band,
+    no mask)."""
+    HD = H * Dh
+    dt = jnp.dtype(dtype_name)
+    params = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
+                                  vmem_limit_bytes=110 * 1024 * 1024)
+    bidir = mode == "bidir"
+    if bidir:
+        assert L == K, "bidirectional rel_shift spill needs a square grid"
+    pad_specs = ([pl.BlockSpec((1, 1, K), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)] if bidir else [])
+    common = [_row((L, HD)), _row((K, HD)), _row((K, HD)),
+              _shared((K, HD)), _shared((1, HD)), _shared((1, HD))]
+
+    fwd_call = pl.pallas_call(
+        (_make_bidir_fwd_kernel(K, H, Dh, scale) if bidir
+         else _make_cross_fwd_kernel(L, K, H, Dh, scale)),
+        grid=(B,),
+        in_specs=pad_specs + common,
+        out_specs=_row((L, HD)),
+        out_shape=jax.ShapeDtypeStruct((B, L, HD), dt),
+        scratch_shapes=[pltpu.VMEM((L, HD), jnp.float32)],
+        interpret=interpret, compiler_params=params)
+
+    bwd_call = pl.pallas_call(
+        (_make_bidir_bwd_kernel(K, H, Dh, scale) if bidir
+         else _make_cross_bwd_kernel(L, K, H, Dh, scale)),
+        grid=(B,),
+        in_specs=pad_specs + common + [
+            _row((L, HD)),
+            pl.BlockSpec((1, L, H), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=[_row((L, HD)), _row((K, HD)), _row((K, HD)),
+                   _acc((K, HD)), _acc((8, HD)), _acc((8, HD))],
+        out_shape=[jax.ShapeDtypeStruct((B, L, HD), dt),
+                   jax.ShapeDtypeStruct((B, K, HD), dt),
+                   jax.ShapeDtypeStruct((B, K, HD), dt),
+                   jax.ShapeDtypeStruct((K, HD), jnp.float32),
+                   jax.ShapeDtypeStruct((8, HD), jnp.float32),
+                   jax.ShapeDtypeStruct((8, HD), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((K, HD), jnp.float32),
+                        pltpu.VMEM((K, HD), jnp.float32)],
+        interpret=interpret, compiler_params=params)
+
+    @jax.custom_vjp
+    def attn(q, k, v, wkr, u, vb, kp):
+        pre = (kp,) if bidir else ()
+        return fwd_call(*pre, q, k, v, wkr[None],
+                        u[None, None, :], vb[None, None, :])
+
+    def fwd(q, k, v, wkr, u, vb, kp):
+        o = attn(q, k, v, wkr, u, vb, kp)
+        return o, (q, k, v, wkr, u, vb, kp, o)
+
+    def bwd(res, do):
+        q, k, v, wkr, u, vb, kp, o = res
+        delta = (do.astype(jnp.float32) * o.astype(jnp.float32)) \
+            .reshape(B, L, H, Dh).sum(-1)
+        pre = (kp,) if bidir else ()
+        dq, dk, dv, dwkr, du8, dvb8 = bwd_call(
+            *pre, q, k, v, wkr[None], u[None, None, :], vb[None, None, :],
+            do.astype(dt), delta)
+        f0 = np.zeros(kp.shape, dtype=jax.dtypes.float0)
+        return (dq, dk, dv, dwkr.astype(wkr.dtype), du8[0].astype(u.dtype),
+                dvb8[0].astype(vb.dtype), f0)
+
+    attn.defvjp(fwd, bwd)
+    return attn
+
+
+def flash_bidir_attention(q, k, v, wkr, u_bias, v_bias, n_heads: int,
+                          pad_mask=None, scale: bool = True,
+                          interpret: bool = False):
+    """Differentiable bidirectional rel-attention with the EXACT `rel_shift`
+    spill the reference's encoder reads (deep_music_remix.py:2095-2097).
+    q/k/v (B, W, HD), wkr (W, HD); returns (B, W, HD)."""
+    B, W, HD = q.shape
+    kp = (jnp.zeros((B, 1, W), jnp.int32) if pad_mask is None
+          else pad_mask.astype(jnp.int32)[:, None, :])
+    fn = _make_flash_mt("bidir", B, W, W, n_heads, HD // n_heads, scale,
+                        jnp.dtype(q.dtype).name, interpret)
+    return fn(q, k, v, wkr, u_bias.reshape(-1), v_bias.reshape(-1), kp)
+
+
+def flash_cross_attention(q, k, v, wkr, u_bias, v_bias, n_heads: int,
+                          scale: bool = True, interpret: bool = False):
+    """Differentiable cross-attention: unmasked softmax over all encoder
+    keys, BD zeroed above the tril(K-L) band (`_line_shift(mask=True)`).
+    q (B, L, HD), k/v (B, K, HD), wkr (K, HD); returns (B, L, HD)."""
+    B, L, HD = q.shape
+    K = k.shape[1]
+    kp = jnp.zeros((B, 1, K), jnp.int32)      # unused in cross mode
+    fn = _make_flash_mt("cross", B, L, K, n_heads, HD // n_heads, scale,
+                        jnp.dtype(q.dtype).name, interpret)
+    return fn(q, k, v, wkr, u_bias.reshape(-1), v_bias.reshape(-1), kp)
+
+
 def flash_train_attention(
     q: jnp.ndarray,            # (B, L, HD) — window queries, pre-head-split
     k: jnp.ndarray,            # (B, K, HD) — [mem, window] keys, K = M + L

@@ -175,3 +175,153 @@ def test_txl_forward_flash_end_to_end():
             err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
         checked += 1
     assert checked > 10
+
+
+# ---------------------------------------------------------------------------
+# Multitask variants: bidirectional (exact spill) and cross (tril'd BD band)
+# ---------------------------------------------------------------------------
+
+from deepmusicgeneration_tpu.ops.flash_train import (flash_bidir_attention,
+                                                     flash_cross_attention)
+from deepmusicgeneration_tpu.ops.rel_attention import rel_shift
+
+
+def _heads(t, n):
+    return t.reshape(B, n, H, Dh).transpose(0, 2, 1, 3)
+
+
+def _ref_bidir(q, k, v, wkr, u, vb, pad=None):
+    """rel_attention with NO causal mask == the reference's bidirectional
+    encoder: rel_shift's spill values are read for j > i."""
+    W = q.shape[1]
+    mask = None if pad is None else pad[:, None, None, :]
+    out = rel_attention(_heads(q, W), _heads(k, W), _heads(v, W),
+                        wkr.reshape(W, H, Dh).transpose(1, 0, 2),
+                        u[:, None, :], vb[:, None, :], mask=mask,
+                        scale=True, shift=True)
+    return out.transpose(0, 2, 1, 3).reshape(B, W, HD)
+
+
+def _ref_cross(q, k, v, wkr, u, vb):
+    """_attn_apply with r_mask=True: unmasked softmax, BD tril'd."""
+    Lq, Kk = q.shape[1], k.shape[1]
+    qh, kh, vh = _heads(q, Lq), _heads(k, Kk), _heads(v, Kk)
+    wh = wkr.reshape(Kk, H, Dh).transpose(1, 0, 2)
+    ac = jnp.einsum("bhqd,bhkd->bhqk", qh + u[:, None, :], kh,
+                    preferred_element_type=jnp.float32)
+    bd = jnp.einsum("bhqd,hkd->bhqk", qh + vb[:, None, :], wh,
+                    preferred_element_type=jnp.float32)
+    bd = rel_shift(bd) * jnp.tril(jnp.ones((Lq, Kk), jnp.float32), Kk - Lq)
+    score = (ac + bd) / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+    prob = jax.nn.softmax(score, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", prob, vh,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(B, Lq, HD)
+
+
+def test_bidir_forward_and_grad_parity():
+    a = _inputs(jnp.float32, seed=6)
+    # square shapes: reuse the (B, L, HD) q and the first L rows of k/v/wkr
+    q, k, v = a["q"], a["k"][:, :L], a["v"][:, :L]
+    wkr, u, vb = a["wkr"][:L], a["u"], a["vb"]
+    pad = jnp.zeros((B, L), bool).at[1, :17].set(True)
+
+    want = _ref_bidir(q, k, v, wkr, u, vb, pad=pad)
+    got = flash_bidir_attention(q, k, v, wkr, u, vb, H, pad_mask=pad,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-5)
+
+    probe = jnp.asarray(
+        np.random.default_rng(7).normal(size=(B, L, HD)), jnp.float32)
+    args = (q, k, v, wkr, u, vb)
+    g_ref = jax.grad(lambda *t: jnp.sum(_ref_bidir(*t, pad=pad) * probe),
+                     argnums=range(6))(*args)
+    g_fl = jax.grad(lambda *t: jnp.sum(flash_bidir_attention(
+        *t, H, pad_mask=pad, interpret=True) * probe),
+        argnums=range(6))(*args)
+    for name, gr, gf in zip(("q", "k", "v", "wkr", "u", "vb"), g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=0, atol=5e-4,
+                                   err_msg=f"bidir grad mismatch for {name}")
+
+
+@pytest.mark.parametrize("Kk", [L, K])
+def test_cross_forward_and_grad_parity(Kk):
+    a = _inputs(jnp.float32, seed=8)
+    q, k, v = a["q"], a["k"][:, :Kk], a["v"][:, :Kk]
+    wkr, u, vb = a["wkr"][:Kk], a["u"], a["vb"]
+
+    want = _ref_cross(q, k, v, wkr, u, vb)
+    got = flash_cross_attention(q, k, v, wkr, u, vb, H, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-5)
+
+    probe = jnp.asarray(
+        np.random.default_rng(11).normal(size=(B, L, HD)), jnp.float32)
+    args = (q, k, v, wkr, u, vb)
+    g_ref = jax.grad(lambda *t: jnp.sum(_ref_cross(*t) * probe),
+                     argnums=range(6))(*args)
+    g_fl = jax.grad(lambda *t: jnp.sum(flash_cross_attention(
+        *t, H, interpret=True) * probe), argnums=range(6))(*args)
+    for name, gr, gf in zip(("q", "k", "v", "wkr", "u", "vb"), g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=0, atol=5e-4,
+                                   err_msg=f"cross grad mismatch for {name}")
+
+
+def test_multitask_forward_flash_train_end_to_end():
+    """mt.forward(flash_train=True) == flash_train=False over all three task
+    shapes (msk / lm / s2f) — logits and parameter grads — tiny 2-layer
+    config, kernels in interpret mode."""
+    from unittest import mock
+
+    from deepmusicgeneration_tpu.models import multitask as mt
+    from deepmusicgeneration_tpu.models.config import MultitaskConfig
+    from deepmusicgeneration_tpu.ops import flash_train
+    from deepmusicgeneration_tpu.train.loop import multi_loss
+
+    cfg = MultitaskConfig(vocab_size=64, enc_layers=2, dec_layers=2,
+                          d_model=128, d_inner=256, n_heads=2, d_head=64,
+                          ctx_len=128, mem_len=128, dtype="float32")
+    params = mt.init_multitask(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(12)
+    Lw = 128
+    tok = lambda: jnp.asarray(rng.integers(2, 64, (2, Lw)), jnp.int32)
+    pos = lambda: jnp.asarray(rng.integers(0, 64, (2, Lw)), jnp.int32)
+    pad = jnp.zeros((2, Lw), bool).at[1, :9].set(True)
+    xd = {"msk": {"x": tok(), "pos": pos()},
+          "lm": {"x": tok(), "pos": pos()},
+          "s2f": {"enc": tok(), "enc_pos": pos(), "enc_pad": pad,
+                  "dec": tok(), "dec_pos": pos()}}
+    yd = {"msk": tok(), "lm": tok(), "s2f": tok()}
+
+    def loss(p, ft):
+        out = mt.forward(p, cfg, xd, pad_idx=1, win_size=4, win_k=0,
+                         flash_train=ft)
+        total, _ = multi_loss(out, yd, 1)
+        return total
+
+    orig = {n: getattr(flash_train, n) for n in
+            ("flash_train_attention", "flash_bidir_attention",
+             "flash_cross_attention")}
+    patched = {n: (lambda f: lambda *a, **kw: f(*a, **{**kw, "interpret": True}))(f)
+               for n, f in orig.items()}
+    l_ref, g_ref = jax.value_and_grad(loss)(params, False)
+    with mock.patch.multiple(flash_train, **patched):
+        l_fl, g_fl = jax.value_and_grad(loss)(params, True)
+
+    np.testing.assert_allclose(float(l_fl), float(l_ref), rtol=1e-5)
+    flat_fl = dict(jax.tree_util.tree_leaves_with_path(g_fl))
+    checked = 0
+    for path, gr in jax.tree_util.tree_leaves_with_path(g_ref):
+        gf = flat_fl[path]
+        if gr is None:
+            assert gf is None
+            continue
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=0,
+            atol=5e-4 * (abs(np.asarray(gr)).max() + 1.0),
+            err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
+        checked += 1
+    assert checked > 20
