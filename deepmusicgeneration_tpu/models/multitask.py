@@ -252,15 +252,16 @@ def _wkr_flat(ap, r, K: int):
 
 
 def _flash_train_block(bp, cfg: MultitaskConfig, h, is_decoder, enc_out,
-                       r, u, v, win_size, win_k, pad_cols):
+                       r, u, v, win_size, win_k, pad_cols, mesh=None):
     """One MTEncoderBlock on the differentiable flash kernels: decoder
     self-attn → causal-window kernel (M=0), encoder self-attn → exact-spill
     bidirectional kernel, cross-attn → tril'd-BD kernel; post-norms and FFN
-    outside (same math as _attn_apply/_ff)."""
-    from ..ops.flash_train import (flash_bidir_attention,
-                                   flash_cross_attention,
-                                   flash_train_attention)
+    outside (same math as _attn_apply/_ff). With ``mesh`` each kernel runs
+    per-device under shard_map (dp batch, tp heads)."""
+    from ..ops import flash_train as ft
     L = h.shape[1]
+    H, Dh = cfg.n_heads, cfg.d_head
+    u2, v2 = u.reshape(H, Dh), v.reshape(H, Dh)
     ap = bp["mha1"]
     q = _lin(h, ap["q_w"], ap["q_b"])
     k = _lin(h, ap["k_w"], ap["k_b"])
@@ -268,21 +269,34 @@ def _flash_train_block(bp, cfg: MultitaskConfig, h, is_decoder, enc_out,
     wkr = _wkr_flat(ap, r, L)
     if is_decoder:
         # causal window mask (the 'lm'/s2s-dec path), no XL memory: M=0
-        attn = flash_train_attention(q, k, vv, wkr, u, v, win_size, win_k,
-                                     0, cfg.n_heads, pad_mask=pad_cols,
-                                     scale=cfg.scale)
+        if mesh is not None:
+            attn = ft.sharded_flash_train_attention(
+                mesh, q, k, vv, wkr, u2, v2, win_size, win_k, 0, H,
+                pad_mask=pad_cols, scale=cfg.scale)
+        else:
+            attn = ft.flash_train_attention(q, k, vv, wkr, u2, v2, win_size,
+                                            win_k, 0, H, pad_mask=pad_cols,
+                                            scale=cfg.scale)
+    elif mesh is not None:
+        attn = ft.sharded_flash_bidir_attention(mesh, q, k, vv, wkr, u2, v2,
+                                                H, pad_mask=pad_cols,
+                                                scale=cfg.scale)
     else:
-        attn = flash_bidir_attention(q, k, vv, wkr, u, v, cfg.n_heads,
-                                     pad_mask=pad_cols, scale=cfg.scale)
+        attn = ft.flash_bidir_attention(q, k, vv, wkr, u2, v2, H,
+                                        pad_mask=pad_cols, scale=cfg.scale)
     h = _layer_norm(h + attn, ap["ln_g"], ap["ln_b"])
     if enc_out is not None:
         ap2 = bp["mha2"]
         q2 = _lin(h, ap2["q_w"], ap2["q_b"])
         k2 = _lin(enc_out, ap2["k_w"], ap2["k_b"])
-        v2 = _lin(enc_out, ap2["v_w"], ap2["v_b"])
+        vv2 = _lin(enc_out, ap2["v_w"], ap2["v_b"])
         wkr2 = _wkr_flat(ap2, r, enc_out.shape[1])
-        attn2 = flash_cross_attention(q2, k2, v2, wkr2, u, v, cfg.n_heads,
-                                      scale=cfg.scale)
+        if mesh is not None:
+            attn2 = ft.sharded_flash_cross_attention(mesh, q2, k2, vv2, wkr2,
+                                                     u2, v2, H, scale=cfg.scale)
+        else:
+            attn2 = ft.flash_cross_attention(q2, k2, vv2, wkr2, u2, v2, H,
+                                             scale=cfg.scale)
         h = _layer_norm(h + attn2, ap2["ln_g"], ap2["ln_b"])
         h = _ff(bp, cfg, h)
     return h
@@ -301,6 +315,7 @@ def stack_forward(
     flash: Optional[bool] = None,
     remat: bool = False,
     flash_train: Optional[bool] = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """MTEncoder.forward (remix:1985-2003): all blocks share u/v and one r
     table over max(L, Le) + mem_len positions. ``win_size``/``win_k`` select
@@ -330,7 +345,8 @@ def stack_forward(
                                 flash_train)):
         def one_block(bp, h):
             return _flash_train_block(bp, cfg, h, is_decoder, enc_out, r,
-                                      u, v, win_size, win_k, pad_cols)
+                                      u, v, win_size, win_k, pad_cols,
+                                      mesh=mesh)
     else:
         if self_mask is None:
             self_mask = _causal_mask(L, win_size, win_k) if is_decoder else None
@@ -368,6 +384,7 @@ def forward(
     win_k: int = 1,
     remat: bool = False,
     flash_train: Optional[bool] = None,
+    mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """Route task dict → logits dict (MultiTransformer.forward).
 
@@ -382,14 +399,15 @@ def forward(
         d = inp["msk"]
         h = embed_tokens(params, cfg, d["x"], d.get("pos"), pad_idx)
         h = stack_forward(params["encoder"], cfg, h, is_decoder=False,
-                          flash=False, remat=remat, flash_train=flash_train)
+                          flash=False, remat=remat, flash_train=flash_train,
+                          mesh=mesh)
         out["msk"] = head(params, cfg, h)
     if "lm" in inp and inp["lm"] is not None:
         d = inp["lm"]
         h = embed_tokens(params, cfg, d["x"], d.get("pos"), pad_idx)
         h = stack_forward(params["decoder"], cfg, h, is_decoder=True,
                           win_size=win_size, win_k=win_k, remat=remat,
-                          flash_train=flash_train)
+                          flash_train=flash_train, mesh=mesh)
         out["lm"] = head(params, cfg, h)
     for key in ("s2f", "f2s", "c2m", "m2c"):
         if key in inp and inp[key] is not None:
@@ -397,12 +415,12 @@ def forward(
             eh = embed_tokens(params, cfg, d["enc"], d.get("enc_pos"), pad_idx)
             eh = stack_forward(params["encoder"], cfg, eh, is_decoder=False,
                                pad_cols=d.get("enc_pad"), flash=False,
-                               remat=remat, flash_train=flash_train)
+                               remat=remat, flash_train=flash_train, mesh=mesh)
             dh = embed_tokens(params, cfg, d["dec"], d.get("dec_pos"), pad_idx)
             dh = stack_forward(params["decoder"], cfg, dh, is_decoder=True,
                                enc_out=eh, pad_cols=d.get("dec_pad"),
                                win_size=win_size, win_k=win_k, remat=remat,
-                               flash_train=flash_train)
+                               flash_train=flash_train, mesh=mesh)
             out[key] = head(params, cfg, dh)
     return out
 

@@ -141,15 +141,32 @@ def _wkr(lp, r, H, Dh):
     return y.reshape(K, H, Dh).transpose(1, 0, 2)
 
 
+def _sharded_flash_attention(mesh, cfg: TXLConfig, q, k, vv, wkr_flat,
+                             u, v, win_size, win_k, mem_valid, pad_mask):
+    """The flash train attention under ``shard_map``: batch over ``dp``,
+    head-major lanes over ``tp`` (each device runs the kernel on its local
+    H/tp heads — attention is embarrassingly parallel across heads). A bare
+    ``pallas_call`` does not partition under GSPMD; this is the mesh-aware
+    path. jit resharding moves the (already tp-column-sharded) projections
+    to the required distribution; the custom-VJP backward's replicated-input
+    cotangents (wkr/u/v) are psum'ed over dp by shard_map's transpose."""
+    from ..ops.flash_train import sharded_flash_train_attention
+    H, Dh = cfg.n_heads, cfg.d_head
+    return sharded_flash_train_attention(
+        mesh, q, k, vv, wkr_flat, u.reshape(H, Dh), v.reshape(H, Dh),
+        win_size, win_k, mem_valid, H, pad_mask=pad_mask, scale=cfg.scale)
+
+
 def _block(lp, cfg: TXLConfig, h, h_ctx, r, u, v, mask, rngs, train,
-           flash_args=None):
+           flash_args=None, mesh=None):
     """One post-norm TXL block: rel-attention over [mem, x] then FFN.
 
     ``flash_args = (win_size, win_k, mem_valid, pad_mask)`` switches the
     attention to the differentiable Pallas flash kernel
     (ops/flash_train.py): scores never materialize in HBM in either the
     forward or the backward pass, and the mask is rebuilt in-kernel from the
-    same window parameters (`mask` is then unused)."""
+    same window parameters (`mask` is then unused). With ``mesh`` the kernel
+    runs per-device under shard_map (dp batch, tp heads)."""
     H, Dh = cfg.n_heads, cfg.d_head
     HD = H * Dh
     if flash_args is not None:
@@ -167,9 +184,14 @@ def _block(lp, cfg: TXLConfig, h, h_ctx, r, u, v, mask, rngs, train,
         wkr_flat = r @ lp["r_w"].astype(dt)
         if lp["r_b"] is not None:
             wkr_flat = wkr_flat + lp["r_b"].astype(dt)
-        attn = flash_train_attention(q, k, vv, wkr_flat, u, v,
-                                     win_size, win_k, mem_valid, H,
-                                     pad_mask=pad_mask, scale=cfg.scale)
+        if mesh is not None:
+            attn = _sharded_flash_attention(mesh, cfg, q, k, vv, wkr_flat,
+                                            u, v, win_size, win_k, mem_valid,
+                                            pad_mask)
+        else:
+            attn = flash_train_attention(q, k, vv, wkr_flat, u, v,
+                                         win_size, win_k, mem_valid, H,
+                                         pad_mask=pad_mask, scale=cfg.scale)
     else:
         q, _, _ = _qkv(lp, h, H, Dh)
         _, k, vv = _qkv(lp, h_ctx, H, Dh)
@@ -219,6 +241,7 @@ def forward(
     win_k: int = 1,
     pad_mask: Optional[jnp.ndarray] = None,  # (B, L) True where x is padding
     flash: Optional[bool] = None,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, TXLState]:
     """Full-window forward. Returns (logits (B, L, V), new_state).
 
@@ -226,7 +249,9 @@ def forward(
     Pallas flash kernel (ops/flash_train.py) instead of the XLA score path
     that materializes (B, H, L, M+L) scores in HBM fwd AND bwd (auto: TPU
     backend, bf16, B >= 8, 128-aligned L and M+L). The window arguments may
-    be traced either way (the curriculum never recompiles)."""
+    be traced either way (the curriculum never recompiles). On a multi-device
+    ``mesh`` the kernel runs per-device under shard_map (dp batch, tp
+    heads) — see :func:`_sharded_flash_attention`."""
     B, L = x.shape
     dt = cfg.act_dtype
     emb = params["embed"][x].astype(dt)
@@ -267,7 +292,7 @@ def forward(
             h_ctx = h
         layer_rngs = rngs[1 + 3 * i:4 + 3 * i] if rngs else None
         h = _block(lp, cfg, h, h_ctx, r, params["u"].astype(dt), params["v"].astype(dt),
-                   mask, layer_rngs, train, flash_args=flash_args)
+                   mask, layer_rngs, train, flash_args=flash_args, mesh=mesh)
 
     out = _dropout(h, cfg.output_p, None if rngs is None else jax.random.fold_in(rngs[0], 1), train)
     logits = out.astype(jnp.float32) @ params["embed"].T.astype(jnp.float32)

@@ -281,6 +281,83 @@ def _make_flash_train(B: int, L: int, K: int, H: int, Dh: int,
 
 
 # ---------------------------------------------------------------------------
+# shard_map wrappers — a bare pallas_call does not partition under GSPMD;
+# on a multi-device mesh each device runs the kernel on its (dp-sharded)
+# local batch and (tp-sharded) local head group. Attention is embarrassingly
+# parallel across heads; jit inserts the boundary reshards, and shard_map's
+# transpose psums the replicated inputs' (wkr/u/v) cotangents over dp.
+# u/v biases must arrive as (H, Dh) so tp can shard the head axis.
+# ---------------------------------------------------------------------------
+
+
+def _mesh_tp(mesh, n_heads: int) -> int:
+    tp = mesh.shape.get("tp", 1)
+    assert n_heads % tp == 0, f"n_heads={n_heads} not divisible by tp={tp}"
+    return tp
+
+
+def sharded_flash_train_attention(mesh, q, k, v, wkr, u2, v2, win_size,
+                                  win_k, mem_valid, n_heads: int,
+                                  pad_mask=None, scale: bool = True):
+    """:func:`flash_train_attention` under shard_map (dp batch, tp heads)."""
+    from jax.sharding import PartitionSpec as P
+    tp = _mesh_tp(mesh, n_heads)
+
+    def body(q, k, v, wkr, u2, v2, pad, ws, wk, mv):
+        return flash_train_attention(q, k, v, wkr, u2, v2, ws, wk, mv,
+                                     n_heads // tp, pad_mask=pad, scale=scale)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("dp", None, "tp"), P("dp", None, "tp"),
+                  P("dp", None, "tp"), P(None, "tp"), P("tp", None),
+                  P("tp", None), P("dp", None), P(), P(), P()),
+        out_specs=P("dp", None, "tp"), check_vma=False)
+    pad = (pad_mask if pad_mask is not None
+           else jnp.zeros(q.shape[:2], bool))
+    return fn(q, k, v, wkr, u2, v2, pad, jnp.asarray(win_size, jnp.int32),
+              jnp.asarray(win_k, jnp.int32), jnp.asarray(mem_valid, jnp.int32))
+
+
+def sharded_flash_bidir_attention(mesh, q, k, v, wkr, u2, v2, n_heads: int,
+                                  pad_mask=None, scale: bool = True):
+    from jax.sharding import PartitionSpec as P
+    tp = _mesh_tp(mesh, n_heads)
+
+    def body(q, k, v, wkr, u2, v2, pad):
+        return flash_bidir_attention(q, k, v, wkr, u2, v2, n_heads // tp,
+                                     pad_mask=pad, scale=scale)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("dp", None, "tp"), P("dp", None, "tp"),
+                  P("dp", None, "tp"), P(None, "tp"), P("tp", None),
+                  P("tp", None), P("dp", None)),
+        out_specs=P("dp", None, "tp"), check_vma=False)
+    pad = (pad_mask if pad_mask is not None
+           else jnp.zeros(q.shape[:2], bool))
+    return fn(q, k, v, wkr, u2, v2, pad)
+
+
+def sharded_flash_cross_attention(mesh, q, k, v, wkr, u2, v2, n_heads: int,
+                                  scale: bool = True):
+    from jax.sharding import PartitionSpec as P
+    tp = _mesh_tp(mesh, n_heads)
+
+    def body(q, k, v, wkr, u2, v2):
+        return flash_cross_attention(q, k, v, wkr, u2, v2, n_heads // tp,
+                                     scale=scale)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("dp", None, "tp"), P("dp", None, "tp"),
+                  P("dp", None, "tp"), P(None, "tp"), P("tp", None),
+                  P("tp", None)),
+        out_specs=P("dp", None, "tp"), check_vma=False)
+    return fn(q, k, v, wkr, u2, v2)
+
+
+# ---------------------------------------------------------------------------
 # Multitask variants: bidirectional (exact rel_shift spill) and cross (tril'd
 # BD band) — the two other attention shapes the multitask TRAIN step runs
 # (models/multitask.py::_attn_apply; reference deep_music_remix.py:2025-2104).

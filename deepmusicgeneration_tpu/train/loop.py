@@ -88,14 +88,15 @@ def init_train_state(rng: jax.Array, cfg: TXLConfig, optimizer, batch: int) -> T
 
 
 def make_train_step(cfg: TXLConfig, optimizer, pad_idx: int,
-                    flash: Optional[bool] = None) -> Callable:
+                    flash: Optional[bool] = None, mesh=None) -> Callable:
     """Returns a jit-able train step.
 
     batch: dict with 'x' (B, L) int32, 'y' (B, L) int32, optional 'pos'.
     XL memory is threaded through the step (MusicPreloader streams contiguous
     token windows, so consecutive steps continue the same songs).
     ``flash``: forwarded to txl.forward — None auto-selects the Pallas
-    fwd+bwd flash attention on TPU (ops/flash_train.py).
+    fwd+bwd flash attention on TPU (ops/flash_train.py); on a multi-device
+    ``mesh`` the kernel runs per-device under shard_map.
     """
 
     def loss_fn(params, batch, mem, rng, win_size):
@@ -106,7 +107,8 @@ def make_train_step(cfg: TXLConfig, optimizer, pad_idx: int,
         logits, new_mem = txl.forward(
             params, cfg, batch["x"], pos=batch.get("pos"), state=mem,
             train=True, rng=rng, win_size=win_size,
-            win_k=jnp.where(jnp.asarray(win_size) > 1, 0, 1), flash=flash)
+            win_k=jnp.where(jnp.asarray(win_size) > 1, 0, 1), flash=flash,
+            mesh=mesh)
         loss, acc = cross_entropy(logits, batch["y"], ignore_index=pad_idx)
         return loss, (acc, new_mem)
 
@@ -146,15 +148,15 @@ def make_sharded_train_step(cfg: TXLConfig, optimizer, pad_idx: int, mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
     from ..parallel.mesh import txl_param_specs
 
-    # Pallas kernels don't partition under GSPMD: on a multi-device mesh the
-    # flash train attention would force the sharded operands to gather, so
-    # the sharded step keeps the XLA score path; the 1-device mesh (the
-    # common CLI case on one chip) still auto-selects flash.
+    # A bare pallas_call doesn't partition under GSPMD, so on a multi-device
+    # mesh the flash train attention runs per-device under shard_map
+    # (txl._sharded_flash_attention: dp batch, tp heads); 1-device meshes
+    # call the kernel directly.
     n_dev = 1
     for v in getattr(mesh, "shape", {}).values():
         n_dev *= v
     base_step = make_train_step(cfg, optimizer, pad_idx,
-                                flash=False if n_dev > 1 else None)
+                                mesh=mesh if n_dev > 1 else None)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, rng, win_size=1):

@@ -325,3 +325,119 @@ def test_multitask_forward_flash_train_end_to_end():
             err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
         checked += 1
     assert checked > 20
+
+
+def test_sharded_flash_train_matches_unsharded_xla():
+    """The shard_map flash path on a (4dp, 2tp) virtual mesh == the
+    unsharded XLA score path: loss AND parameter grads. Validates the
+    per-device head split, jit resharding at the shard_map boundary, and
+    the psum of the replicated inputs' (wkr/u/v) cotangents in backward."""
+    from unittest import mock
+
+    from deepmusicgeneration_tpu.models import txl
+    from deepmusicgeneration_tpu.models.config import TXLConfig
+    from deepmusicgeneration_tpu.ops import flash_train
+    from deepmusicgeneration_tpu.parallel.mesh import make_mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    mesh = make_mesh(dp=4, tp=2)
+
+    cfg = TXLConfig(vocab_size=64, n_layers=2, d_model=128, d_inner=256,
+                    n_heads=2, d_head=64, ctx_len=128, mem_len=128,
+                    dtype="float32", embed_p=0.0, resid_p=0.0, ff_p=0.0,
+                    output_p=0.0)
+    params = txl.init_txl(jax.random.PRNGKey(0), cfg)
+    state = txl.init_state(cfg, batch=8)
+    state = state._replace(valid=jnp.asarray(96, jnp.int32))
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.integers(0, 64, (8, 128)), jnp.int32)
+    y = jnp.asarray(rng.integers(0, 64, (8, 128)), jnp.int32)
+
+    def loss(p, flash, m):
+        logits, _ = txl.forward(p, cfg, x, state=state, train=False,
+                                win_size=4, win_k=0, flash=flash, mesh=m)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        return -jnp.take_along_axis(lp, y[..., None], axis=-1).mean()
+
+    l_ref, g_ref = jax.value_and_grad(loss)(params, False, None)
+
+    orig = flash_train.flash_train_attention
+    interp = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    with mock.patch.object(flash_train, "flash_train_attention", interp):
+        with mesh:
+            l_sh, g_sh = jax.jit(
+                jax.value_and_grad(lambda p: loss(p, True, mesh)))(params)
+
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+    flat_sh = dict(jax.tree_util.tree_leaves_with_path(g_sh))
+    checked = 0
+    for path, gr in jax.tree_util.tree_leaves_with_path(g_ref):
+        gf = flat_sh[path]
+        if gr is None:
+            assert gf is None
+            continue
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=0,
+            atol=5e-4 * (abs(np.asarray(gr)).max() + 1.0),
+            err_msg=f"sharded grad mismatch at {jax.tree_util.keystr(path)}")
+        checked += 1
+    assert checked > 10
+
+
+def test_sharded_multitask_flash_train_matches_unsharded_xla():
+    """Multitask flash_train under shard_map on the (4dp, 2tp) virtual mesh
+    == the unsharded XLA path: loss + param grads over msk/lm/s2f."""
+    from unittest import mock
+
+    from deepmusicgeneration_tpu.models import multitask as mt
+    from deepmusicgeneration_tpu.models.config import MultitaskConfig
+    from deepmusicgeneration_tpu.ops import flash_train
+    from deepmusicgeneration_tpu.parallel.mesh import make_mesh
+    from deepmusicgeneration_tpu.train.loop import multi_loss
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    mesh = make_mesh(dp=4, tp=2)
+
+    cfg = MultitaskConfig(vocab_size=64, enc_layers=2, dec_layers=2,
+                          d_model=128, d_inner=256, n_heads=2, d_head=64,
+                          ctx_len=128, mem_len=128, dtype="float32")
+    params = mt.init_multitask(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(33)
+    tok = lambda: jnp.asarray(rng.integers(2, 64, (8, 128)), jnp.int32)
+    xd = {"msk": {"x": tok()}, "lm": {"x": tok()},
+          "s2f": {"enc": tok(), "dec": tok()}}
+    yd = {"msk": tok(), "lm": tok(), "s2f": tok()}
+
+    def loss(p, ft, m):
+        out = mt.forward(p, cfg, xd, pad_idx=1, win_size=1, win_k=1,
+                         flash_train=ft, mesh=m)
+        return multi_loss(out, yd, 1)[0]
+
+    l_ref, g_ref = jax.value_and_grad(loss)(params, False, None)
+
+    names = ("flash_train_attention", "flash_bidir_attention",
+             "flash_cross_attention")
+    orig = {n: getattr(flash_train, n) for n in names}
+    patched = {n: (lambda f: lambda *a, **kw: f(*a, **{**kw, "interpret": True}))(f)
+               for n, f in orig.items()}
+    with mock.patch.multiple(flash_train, **patched):
+        with mesh:
+            l_sh, g_sh = jax.jit(
+                jax.value_and_grad(lambda p: loss(p, True, mesh)))(params)
+
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+    flat_sh = dict(jax.tree_util.tree_leaves_with_path(g_sh))
+    checked = 0
+    for path, gr in jax.tree_util.tree_leaves_with_path(g_ref):
+        gf = flat_sh[path]
+        if gr is None:
+            assert gf is None
+            continue
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=0,
+            atol=5e-4 * (abs(np.asarray(gr)).max() + 1.0),
+            err_msg=f"sharded mt grad mismatch at {jax.tree_util.keystr(path)}")
+        checked += 1
+    assert checked > 20
