@@ -106,12 +106,34 @@ def _layer_norm(x, g, b, eps=1e-5):
     return ((x32 - mu) * jax.lax.rsqrt(var + eps) * g + b).astype(x.dtype)
 
 
+def _dropout(x, rate: float, rng, train: bool):
+    """Inverted dropout; identity at eval / without an rng (the reference
+    trains the multitask model with the full fastai dropout set —
+    embed_p/attn_p/resid_p/ff_p/output_p, remix:1910-2110)."""
+    if not train or rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros((), x.dtype))
+
+
+def _rnn_dropout(x, rate: float, rng, train: bool):
+    """fastai RNNDropout: one (B, 1, D) mask broadcast over the sequence
+    (MTLinearDecoder.output_dp, remix:1948)."""
+    if not train or rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate,
+                                (x.shape[0], 1, x.shape[-1]))
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros((), x.dtype))
+
+
 def _act(x, kind):
     return jax.nn.gelu(x, approximate=False) if kind == "gelu" else jax.nn.relu(x)
 
 
-def embed_tokens(params, cfg: MultitaskConfig, x, pos, pad_idx: int = 1):
-    """TransformerEmbedding (remix:1910-1931)."""
+def embed_tokens(params, cfg: MultitaskConfig, x, pos, pad_idx: int = 1,
+                 rng=None, train: bool = False):
+    """TransformerEmbedding (remix:1910-1931); embed_p dropout on the summed
+    embedding (remix:1931) at train time."""
     dt = cfg.act_dtype
     emb = params["embed"][x].astype(dt)
     emb = jnp.where((x == pad_idx)[..., None], 0.0, emb)
@@ -123,7 +145,7 @@ def embed_tokens(params, cfg: MultitaskConfig, x, pos, pad_idx: int = 1):
         be = jnp.where((beat == 0)[..., None], 0.0, be)
         ba = jnp.where((bar == 0)[..., None], 0.0, ba)
         emb = emb + be + ba
-    return emb
+    return _dropout(emb, cfg.embed_p, rng, train)
 
 
 def _proj(h, w, b, H, Dh):
@@ -134,8 +156,10 @@ def _proj(h, w, b, H, Dh):
     return y.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
 
 
-def _attn_apply(ap, cfg: MultitaskConfig, q_in, kv_in, r, u, v, mask, r_mask: bool):
-    """ln(q + rel_attention(...)) with NO output projection (remix:2025-2104)."""
+def _attn_apply(ap, cfg: MultitaskConfig, q_in, kv_in, r, u, v, mask, r_mask: bool,
+                rng=None, train: bool = False):
+    """ln(q + drop_res(rel_attention(...))) with NO output projection
+    (remix:2025-2104); drop_att on the probabilities (remix:2102)."""
     H, Dh = cfg.n_heads, cfg.d_head
     B, Lq, D = q_in.shape
     K = kv_in.shape[1]
@@ -163,14 +187,24 @@ def _attn_apply(ap, cfg: MultitaskConfig, q_in, kv_in, r, u, v, mask, r_mask: bo
     if mask is not None:
         score = jnp.where(mask[..., -K:], NEG_INF, score)
     prob = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(q_in.dtype)
+    if train and rng is not None:
+        prob = _dropout(prob, cfg.attn_p, jax.random.fold_in(rng, 0), train)
     attn = jnp.einsum("bhqk,bhkd->bhqd", prob, vv, preferred_element_type=acc)
     attn = attn.astype(q_in.dtype).transpose(0, 2, 1, 3).reshape(B, Lq, H * Dh)
+    if train and rng is not None:
+        attn = _dropout(attn, cfg.resid_p, jax.random.fold_in(rng, 1), train)
     return _layer_norm(q_in + attn, ap["ln_g"], ap["ln_b"])
 
 
-def _ff(bp, cfg: MultitaskConfig, h):
+def _ff(bp, cfg: MultitaskConfig, h, rng=None, train: bool = False):
+    """fastai feed_forward(double_drop=True): act→drop(ff_p)→linear→
+    drop(ff_p)→residual→ln (MTEncoderBlock, remix:2009)."""
     y = _act(h @ bp["ff1_w"].astype(h.dtype) + bp["ff1_b"].astype(h.dtype), cfg.act)
+    if train and rng is not None:
+        y = _dropout(y, cfg.ff_p, jax.random.fold_in(rng, 0), train)
     y = y @ bp["ff2_w"].astype(y.dtype) + bp["ff2_b"].astype(y.dtype)
+    if train and rng is not None:
+        y = _dropout(y, cfg.ff_p, jax.random.fold_in(rng, 1), train)
     return _layer_norm(h + y, bp["ff_ln_g"], bp["ff_ln_b"])
 
 
@@ -252,16 +286,26 @@ def _wkr_flat(ap, r, K: int):
 
 
 def _flash_train_block(bp, cfg: MultitaskConfig, h, is_decoder, enc_out,
-                       r, u, v, win_size, win_k, pad_cols, mesh=None):
+                       r, u, v, win_size, win_k, pad_cols, mesh=None,
+                       rng=None, train: bool = False):
     """One MTEncoderBlock on the differentiable flash kernels: decoder
     self-attn → causal-window kernel (M=0), encoder self-attn → exact-spill
     bidirectional kernel, cross-attn → tril'd-BD kernel; post-norms and FFN
     outside (same math as _attn_apply/_ff). With ``mesh`` each kernel runs
-    per-device under shard_map (dp batch, tp heads)."""
+    per-device under shard_map (dp batch, tp heads). resid_p/ff_p dropout
+    apply outside the kernels; attn_p (on the probabilities) rides inside
+    them via the counter-hash mask, seeded from ``rng``."""
     from ..ops import flash_train as ft
     L = h.shape[1]
     H, Dh = cfg.n_heads, cfg.d_head
     u2, v2 = u.reshape(H, Dh), v.reshape(H, Dh)
+    ap_rate = cfg.attn_p if (train and rng is not None) else 0.0
+
+    def seed_of(i):
+        if ap_rate <= 0.0:
+            return None
+        return jax.random.randint(jax.random.fold_in(rng, i), (),
+                                  0, 2**31 - 1, jnp.int32)
     ap = bp["mha1"]
     q = _lin(h, ap["q_w"], ap["q_b"])
     k = _lin(h, ap["k_w"], ap["k_b"])
@@ -272,18 +316,25 @@ def _flash_train_block(bp, cfg: MultitaskConfig, h, is_decoder, enc_out,
         if mesh is not None:
             attn = ft.sharded_flash_train_attention(
                 mesh, q, k, vv, wkr, u2, v2, win_size, win_k, 0, H,
-                pad_mask=pad_cols, scale=cfg.scale)
+                pad_mask=pad_cols, scale=cfg.scale, attn_p=ap_rate,
+                attn_seed=seed_of(13))
         else:
             attn = ft.flash_train_attention(q, k, vv, wkr, u2, v2, win_size,
                                             win_k, 0, H, pad_mask=pad_cols,
-                                            scale=cfg.scale)
+                                            scale=cfg.scale, attn_p=ap_rate,
+                                            attn_seed=seed_of(13))
     elif mesh is not None:
         attn = ft.sharded_flash_bidir_attention(mesh, q, k, vv, wkr, u2, v2,
                                                 H, pad_mask=pad_cols,
-                                                scale=cfg.scale)
+                                                scale=cfg.scale,
+                                                attn_p=ap_rate,
+                                                attn_seed=seed_of(13))
     else:
         attn = ft.flash_bidir_attention(q, k, vv, wkr, u2, v2, H,
-                                        pad_mask=pad_cols, scale=cfg.scale)
+                                        pad_mask=pad_cols, scale=cfg.scale,
+                                        attn_p=ap_rate, attn_seed=seed_of(13))
+    if train and rng is not None:
+        attn = _dropout(attn, cfg.resid_p, jax.random.fold_in(rng, 10), train)
     h = _layer_norm(h + attn, ap["ln_g"], ap["ln_b"])
     if enc_out is not None:
         ap2 = bp["mha2"]
@@ -293,12 +344,20 @@ def _flash_train_block(bp, cfg: MultitaskConfig, h, is_decoder, enc_out,
         wkr2 = _wkr_flat(ap2, r, enc_out.shape[1])
         if mesh is not None:
             attn2 = ft.sharded_flash_cross_attention(mesh, q2, k2, vv2, wkr2,
-                                                     u2, v2, H, scale=cfg.scale)
+                                                     u2, v2, H, scale=cfg.scale,
+                                                     attn_p=ap_rate,
+                                                     attn_seed=seed_of(14))
         else:
             attn2 = ft.flash_cross_attention(q2, k2, vv2, wkr2, u2, v2, H,
-                                             scale=cfg.scale)
+                                             scale=cfg.scale, attn_p=ap_rate,
+                                             attn_seed=seed_of(14))
+        if train and rng is not None:
+            attn2 = _dropout(attn2, cfg.resid_p,
+                             jax.random.fold_in(rng, 11), train)
         h = _layer_norm(h + attn2, ap2["ln_g"], ap2["ln_b"])
-        h = _ff(bp, cfg, h)
+        h = _ff(bp, cfg, h, rng=(jax.random.fold_in(rng, 12)
+                                 if (train and rng is not None) else None),
+                train=train)
     return h
 
 
@@ -316,6 +375,8 @@ def stack_forward(
     remat: bool = False,
     flash_train: Optional[bool] = None,
     mesh=None,
+    rng=None,
+    train: bool = False,
 ) -> jnp.ndarray:
     """MTEncoder.forward (remix:1985-2003): all blocks share u/v and one r
     table over max(L, Le) + mem_len positions. ``win_size``/``win_k`` select
@@ -343,10 +404,10 @@ def stack_forward(
             and _flash_train_ok(cfg, B, L,
                                 enc_out.shape[1] if enc_out is not None else None,
                                 flash_train)):
-        def one_block(bp, h):
+        def one_block(bp, h, lrng):
             return _flash_train_block(bp, cfg, h, is_decoder, enc_out, r,
                                       u, v, win_size, win_k, pad_cols,
-                                      mesh=mesh)
+                                      mesh=mesh, rng=lrng, train=train)
     else:
         if self_mask is None:
             self_mask = _causal_mask(L, win_size, win_k) if is_decoder else None
@@ -354,21 +415,31 @@ def stack_forward(
             pc = pad_cols[:, None, None, :]
             self_mask = pc if self_mask is None else (self_mask | pc)
 
-        def one_block(bp, h):
-            h = _attn_apply(bp["mha1"], cfg, h, h, r, u, v, self_mask, r_mask=False)
+        def one_block(bp, h, lrng):
+            rs = ((jax.random.fold_in(lrng, s) for s in range(3))
+                  if lrng is not None else iter([None, None, None]))
+            h = _attn_apply(bp["mha1"], cfg, h, h, r, u, v, self_mask,
+                            r_mask=False, rng=next(rs), train=train)
             if enc_out is not None:
-                h = _attn_apply(bp["mha2"], cfg, h, enc_out, r, u, v, None, r_mask=True)
-                h = _ff(bp, cfg, h)
+                h = _attn_apply(bp["mha2"], cfg, h, enc_out, r, u, v, None,
+                                r_mask=True, rng=next(rs), train=train)
+                h = _ff(bp, cfg, h, rng=next(rs), train=train)
             # reference quirk: no cross input → attention-only block (no FFN)
             return h
 
     block = jax.checkpoint(one_block) if remat else one_block
-    for bp in stack["layers"]:
-        h = block(bp, h)
+    for i, bp in enumerate(stack["layers"]):
+        h = block(bp, h,
+                  jax.random.fold_in(rng, i) if (train and rng is not None)
+                  else None)
     return h
 
 
-def head(params, cfg: MultitaskConfig, h) -> jnp.ndarray:
+def head(params, cfg: MultitaskConfig, h, rng=None,
+         train: bool = False) -> jnp.ndarray:
+    """MTLinearDecoder: RNNDropout(output_p) — one mask per (batch, feature)
+    broadcast over the sequence — then the tied linear (remix:1940-1955)."""
+    h = _rnn_dropout(h, cfg.output_p, rng, train)
     logits = h.astype(jnp.float32) @ params["embed"].T.astype(jnp.float32)
     if params.get("head_b") is not None:
         logits = logits + params["head_b"]
@@ -385,6 +456,8 @@ def forward(
     remat: bool = False,
     flash_train: Optional[bool] = None,
     mesh=None,
+    rng=None,
+    train: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Route task dict → logits dict (MultiTransformer.forward).
 
@@ -395,33 +468,42 @@ def forward(
     tril'd cross variants; auto on TPU for bf16, B >= 8, 128-aligned
     W <= 512), which keep scores in VMEM in forward AND backward."""
     out = {}
+    tr = train and rng is not None
+    sub = (lambda i: jax.random.fold_in(rng, i)) if tr else (lambda i: None)
     if "msk" in inp and inp["msk"] is not None:
         d = inp["msk"]
-        h = embed_tokens(params, cfg, d["x"], d.get("pos"), pad_idx)
+        h = embed_tokens(params, cfg, d["x"], d.get("pos"), pad_idx,
+                         rng=sub(0), train=train)
         h = stack_forward(params["encoder"], cfg, h, is_decoder=False,
                           flash=False, remat=remat, flash_train=flash_train,
-                          mesh=mesh)
-        out["msk"] = head(params, cfg, h)
+                          mesh=mesh, rng=sub(1), train=train)
+        out["msk"] = head(params, cfg, h, rng=sub(2), train=train)
     if "lm" in inp and inp["lm"] is not None:
         d = inp["lm"]
-        h = embed_tokens(params, cfg, d["x"], d.get("pos"), pad_idx)
+        h = embed_tokens(params, cfg, d["x"], d.get("pos"), pad_idx,
+                         rng=sub(3), train=train)
         h = stack_forward(params["decoder"], cfg, h, is_decoder=True,
                           win_size=win_size, win_k=win_k, remat=remat,
-                          flash_train=flash_train, mesh=mesh)
-        out["lm"] = head(params, cfg, h)
-    for key in ("s2f", "f2s", "c2m", "m2c"):
+                          flash_train=flash_train, mesh=mesh, rng=sub(4),
+                          train=train)
+        out["lm"] = head(params, cfg, h, rng=sub(5), train=train)
+    for j, key in enumerate(("s2f", "f2s", "c2m", "m2c")):
         if key in inp and inp[key] is not None:
             d = inp[key]
-            eh = embed_tokens(params, cfg, d["enc"], d.get("enc_pos"), pad_idx)
+            eh = embed_tokens(params, cfg, d["enc"], d.get("enc_pos"), pad_idx,
+                              rng=sub(10 + 10 * j), train=train)
             eh = stack_forward(params["encoder"], cfg, eh, is_decoder=False,
                                pad_cols=d.get("enc_pad"), flash=False,
-                               remat=remat, flash_train=flash_train, mesh=mesh)
-            dh = embed_tokens(params, cfg, d["dec"], d.get("dec_pos"), pad_idx)
+                               remat=remat, flash_train=flash_train, mesh=mesh,
+                               rng=sub(11 + 10 * j), train=train)
+            dh = embed_tokens(params, cfg, d["dec"], d.get("dec_pos"), pad_idx,
+                              rng=sub(12 + 10 * j), train=train)
             dh = stack_forward(params["decoder"], cfg, dh, is_decoder=True,
                                enc_out=eh, pad_cols=d.get("dec_pad"),
                                win_size=win_size, win_k=win_k, remat=remat,
-                               flash_train=flash_train, mesh=mesh)
-            out[key] = head(params, cfg, dh)
+                               flash_train=flash_train, mesh=mesh,
+                               rng=sub(13 + 10 * j), train=train)
+            out[key] = head(params, cfg, dh, rng=sub(14 + 10 * j), train=train)
     return out
 
 

@@ -142,7 +142,8 @@ def _wkr(lp, r, H, Dh):
 
 
 def _sharded_flash_attention(mesh, cfg: TXLConfig, q, k, vv, wkr_flat,
-                             u, v, win_size, win_k, mem_valid, pad_mask):
+                             u, v, win_size, win_k, mem_valid, pad_mask,
+                             attn_p=0.0, attn_seed=None):
     """The flash train attention under ``shard_map``: batch over ``dp``,
     head-major lanes over ``tp`` (each device runs the kernel on its local
     H/tp heads — attention is embarrassingly parallel across heads). A bare
@@ -154,7 +155,8 @@ def _sharded_flash_attention(mesh, cfg: TXLConfig, q, k, vv, wkr_flat,
     H, Dh = cfg.n_heads, cfg.d_head
     return sharded_flash_train_attention(
         mesh, q, k, vv, wkr_flat, u.reshape(H, Dh), v.reshape(H, Dh),
-        win_size, win_k, mem_valid, H, pad_mask=pad_mask, scale=cfg.scale)
+        win_size, win_k, mem_valid, H, pad_mask=pad_mask, scale=cfg.scale,
+        attn_p=attn_p, attn_seed=attn_seed)
 
 
 def _block(lp, cfg: TXLConfig, h, h_ctx, r, u, v, mask, rngs, train,
@@ -184,35 +186,43 @@ def _block(lp, cfg: TXLConfig, h, h_ctx, r, u, v, mask, rngs, train,
         wkr_flat = r @ lp["r_w"].astype(dt)
         if lp["r_b"] is not None:
             wkr_flat = wkr_flat + lp["r_b"].astype(dt)
+        # drop_att rides inside the kernel (counter-hash mask, identical
+        # fwd/bwd); seed drawn from this layer's attention rng
+        ap_rate = cfg.attn_p if (train and rngs is not None) else 0.0
+        ap_seed = (jax.random.randint(rngs[0], (), 0, 2**31 - 1, jnp.int32)
+                   if ap_rate > 0.0 else None)
         if mesh is not None:
             attn = _sharded_flash_attention(mesh, cfg, q, k, vv, wkr_flat,
                                             u, v, win_size, win_k, mem_valid,
-                                            pad_mask)
+                                            pad_mask, attn_p=ap_rate,
+                                            attn_seed=ap_seed)
         else:
             attn = flash_train_attention(q, k, vv, wkr_flat, u, v,
                                          win_size, win_k, mem_valid, H,
-                                         pad_mask=pad_mask, scale=cfg.scale)
+                                         pad_mask=pad_mask, scale=cfg.scale,
+                                         attn_p=ap_rate, attn_seed=ap_seed)
     else:
         q, _, _ = _qkv(lp, h, H, Dh)
         _, k, vv = _qkv(lp, h_ctx, H, Dh)
         wkr = _wkr(lp, r, H, Dh)
         attn = rel_attention(q, k, vv, wkr, u, v, mask=mask, scale=cfg.scale,
-                             shift=True)
+                             shift=True, attn_p=cfg.attn_p if train else 0.0,
+                             attn_rng=rngs[0] if rngs is not None else None)
         B, _, L, _ = attn.shape
         attn = attn.transpose(0, 2, 1, 3).reshape(B, L, HD)
     out = attn @ lp["out_w"].astype(attn.dtype)
     if lp["out_b"] is not None:
         out = out + lp["out_b"].astype(out.dtype)
     if rngs is not None:
-        out = _dropout(out, cfg.resid_p, rngs[0], train)
+        out = _dropout(out, cfg.resid_p, rngs[1], train)
     h = _layer_norm(h + out, lp["ln1_g"], lp["ln1_b"])
 
     ff = _act(h @ lp["ff1_w"].astype(h.dtype) + lp["ff1_b"].astype(h.dtype), cfg.act)
     if rngs is not None:
-        ff = _dropout(ff, cfg.ff_p, rngs[1], train)
+        ff = _dropout(ff, cfg.ff_p, rngs[2], train)
     ff = ff @ lp["ff2_w"].astype(ff.dtype) + lp["ff2_b"].astype(ff.dtype)
     if rngs is not None:
-        ff = _dropout(ff, cfg.ff_p, rngs[2], train)
+        ff = _dropout(ff, cfg.ff_p, rngs[3], train)
     h = _layer_norm(h + ff, lp["ln2_g"], lp["ln2_b"])
     return h
 
@@ -257,7 +267,7 @@ def forward(
     emb = params["embed"][x].astype(dt)
     if cfg.encode_position and pos is not None:
         emb = emb + beat_position_emb(params, cfg, pos).astype(dt)
-    n_rng = 1 + 3 * cfg.n_layers
+    n_rng = 1 + 4 * cfg.n_layers
     rngs = list(jax.random.split(rng, n_rng)) if (train and rng is not None) else None
     h = _dropout(emb, cfg.embed_p, rngs[0] if rngs else None, train)
 
@@ -290,7 +300,7 @@ def forward(
                 jax.lax.stop_gradient(h_ctx[:, -M:]) if M else state.mem[i])
         else:
             h_ctx = h
-        layer_rngs = rngs[1 + 3 * i:4 + 3 * i] if rngs else None
+        layer_rngs = rngs[1 + 4 * i:5 + 4 * i] if rngs else None
         h = _block(lp, cfg, h, h_ctx, r, params["u"].astype(dt), params["v"].astype(dt),
                    mask, layer_rngs, train, flash_args=flash_args, mesh=mesh)
 

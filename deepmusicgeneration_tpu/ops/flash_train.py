@@ -76,6 +76,40 @@ def _unskew(ds, rows_i, L: int, K: int):
     return y
 
 
+# lowbias32-style integer mixer constants (int32 two's-complement wraparound)
+_C1 = 0x7feb352d
+_C2 = 0x846ca68b - (1 << 32)
+_CH = 0x9E3779B9 - (1 << 32)          # golden-ratio stride for heads
+_CB = 0x632be59b                      # batch-row stride (< 2^31, no wrap)
+
+
+def _lsr(x, k: int):
+    """Logical shift right on int32 (arithmetic shift + sign-bit mask)."""
+    return (x >> k) & jnp.int32((1 << (32 - k)) - 1)
+
+
+def _hash_keep(seed, h: int, shape, p: float):
+    """Counter-based dropout keep-mask: a 3-round multiply-xor mixer over
+    (seed, head, position) — pure int32 vector ops, so it is bit-identical
+    between the forward and the recompute-based backward AND runs in
+    interpreter mode (the TPU PRNG primitives do not). Returns f32 0/1·scale.
+
+    Statistical bar is dropout, not crypto: lowbias32-family mixers pass
+    avalanche tests far beyond what Bernoulli masking needs."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    x = seed + jnp.int32(h + 1) * jnp.int32(_CH) \
+        + rows * jnp.int32(shape[1]) + cols
+    x = x ^ _lsr(x, 16)
+    x = x * jnp.int32(_C1)
+    x = x ^ _lsr(x, 15)
+    x = x * jnp.int32(_C2)
+    x = x ^ _lsr(x, 16)
+    # x uniform over int32; P(x <= t) = (t + 2^31) / 2^32 = p
+    t = jnp.int32(int(p * (1 << 32)) - (1 << 31))
+    return (x > t).astype(jnp.float32) * jnp.float32(1.0 / (1.0 - p))
+
+
 def _blocked_mask(rt_ref, cw_ref, cb_ref, pad_ref):
     """(L, K) bool, True = BLOCKED. Assembled from precomputed vectors:
     rt (L,) row window-threshold (row_win + win_k), cw (K,) col window index
@@ -87,12 +121,14 @@ def _blocked_mask(rt_ref, cw_ref, cb_ref, pad_ref):
     return (cw[None, :] >= rt[:, None]) | colblk[None, :]
 
 
-def _make_fwd_kernel(L: int, K: int, H: int, Dh: int, scale: bool):
+def _make_fwd_kernel(L: int, K: int, H: int, Dh: int, scale: bool,
+                     attn_p: float = 0.0):
     sc = 1.0 / math.sqrt(Dh) if scale else 1.0
 
     def kernel(rt_ref, cw_ref, cb_ref, pad_ref, q_ref, k_ref, v_ref,
-               wkr_ref, u_ref, vb_ref, o_ref, o_scr):
+               wkr_ref, u_ref, vb_ref, seed_ref, o_ref, o_scr):
         blocked = _blocked_mask(rt_ref, cw_ref, cb_ref, pad_ref)
+        bseed = seed_ref[0, 0] + pl.program_id(0) * jnp.int32(_CB)
         for h in range(H):
             sl = pl.ds(h * Dh, Dh)
             qh = q_ref[0, :, sl].astype(jnp.float32)       # (L, Dh)
@@ -111,7 +147,10 @@ def _make_fwd_kernel(L: int, K: int, H: int, Dh: int, scale: bool):
             m = jnp.max(score, axis=1, keepdims=True)
             e = jnp.exp(score - m)
             denom = jnp.sum(e, axis=1, keepdims=True)
-            prob = (e / denom).astype(kh.dtype)
+            pf = e / denom
+            if attn_p > 0.0:                               # drop_att
+                pf = pf * _hash_keep(bseed, h, (L, K), attn_p)
+            prob = pf.astype(kh.dtype)
             pv = jax.lax.dot_general(                      # (L, Dh) f32
                 prob, v_ref[0, :, sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -121,16 +160,18 @@ def _make_fwd_kernel(L: int, K: int, H: int, Dh: int, scale: bool):
     return kernel
 
 
-def _make_bwd_kernel(L: int, K: int, H: int, Dh: int, scale: bool):
+def _make_bwd_kernel(L: int, K: int, H: int, Dh: int, scale: bool,
+                     attn_p: float = 0.0):
     sc = 1.0 / math.sqrt(Dh) if scale else 1.0
 
     def kernel(rt_ref, cw_ref, cb_ref, pad_ref, q_ref, k_ref, v_ref,
-               wkr_ref, u_ref, vb_ref, do_ref, delta_ref,
+               wkr_ref, u_ref, vb_ref, seed_ref, do_ref, delta_ref,
                dq_ref, dk_ref, dv_ref, dwkr_ref, du_ref, dvb_ref,
                dk_scr, dv_scr):
         b = pl.program_id(0)
         blocked = _blocked_mask(rt_ref, cw_ref, cb_ref, pad_ref)
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+        bseed = seed_ref[0, 0] + b * jnp.int32(_CB)
 
         @pl.when(b == 0)
         def _init():
@@ -159,15 +200,22 @@ def _make_bwd_kernel(L: int, K: int, H: int, Dh: int, scale: bool):
             e = jnp.exp(score - m)
             denom = jnp.sum(e, axis=1, keepdims=True)
             p = e / denom                                   # (L, K) f32
-            # --- softmax backward: dS = P ∘ (dP − δ), δ_i = dOᵢ·Oᵢ
+            # --- softmax backward through drop_att: O = (P∘m) V with the
+            # mask m recomputed bit-identically; dS = P ∘ (m∘dP − δ), where
+            # δ_i = dOᵢ·Oᵢ still holds (Σ m∘dP∘P = Σ dP∘Pd = dO·O)
             doh = do_ref[0, :, sl]                          # (L, Dh) bf16
             dlt = delta_ref[0, :, pl.ds(h, 1)]              # (L, 1) f32
             dp = jax.lax.dot_general(                       # dO @ Vᵀ (L, K)
                 doh, vh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            ds = p * (dp - dlt) * sc
+            if attn_p > 0.0:
+                keep = _hash_keep(bseed, h, (L, K), attn_p)
+                ds = p * (keep * dp - dlt) * sc
+                p_b = (p * keep).astype(kh.dtype)           # Pd for dV
+            else:
+                ds = p * (dp - dlt) * sc
+                p_b = p.astype(kh.dtype)
             ds_b = ds.astype(kh.dtype)
-            p_b = p.astype(kh.dtype)
             # --- dV = Pᵀ dO, dQu = dS K, dK = dSᵀ (q+u)
             dv_scr[:, sl] = jax.lax.dot_general(
                 p_b, doh, (((0,), (0,)), ((), ())),
@@ -215,32 +263,37 @@ def _acc(shape):
 
 @functools.lru_cache(maxsize=None)
 def _make_flash_train(B: int, L: int, K: int, H: int, Dh: int,
-                      scale: bool, dtype_name: str, interpret: bool):
+                      scale: bool, dtype_name: str, interpret: bool,
+                      attn_p: float = 0.0):
     HD = H * Dh
     dt = jnp.dtype(dtype_name)
     mask_specs = [_shared((L,)), _shared((K,)), _shared((K,)),
                   pl.BlockSpec((1, 1, K), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)]
+    seed_spec = pl.BlockSpec((1, 1), lambda b: (0, 0),
+                             memory_space=pltpu.SMEM)
     params = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
                                   vmem_limit_bytes=110 * 1024 * 1024)
 
     fwd_call = pl.pallas_call(
-        _make_fwd_kernel(L, K, H, Dh, scale),
+        _make_fwd_kernel(L, K, H, Dh, scale, attn_p),
         grid=(B,),
         in_specs=mask_specs + [
             _row((L, HD)), _row((K, HD)), _row((K, HD)),
-            _shared((K, HD)), _shared((1, HD)), _shared((1, HD))],
+            _shared((K, HD)), _shared((1, HD)), _shared((1, HD)),
+            seed_spec],
         out_specs=_row((L, HD)),
         out_shape=jax.ShapeDtypeStruct((B, L, HD), dt),
         scratch_shapes=[pltpu.VMEM((L, HD), jnp.float32)],
         interpret=interpret, compiler_params=params)
 
     bwd_call = pl.pallas_call(
-        _make_bwd_kernel(L, K, H, Dh, scale),
+        _make_bwd_kernel(L, K, H, Dh, scale, attn_p),
         grid=(B,),
         in_specs=mask_specs + [
             _row((L, HD)), _row((K, HD)), _row((K, HD)),
             _shared((K, HD)), _shared((1, HD)), _shared((1, HD)),
+            seed_spec,
             _row((L, HD)),                                   # dO
             pl.BlockSpec((1, L, H), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)],          # delta
@@ -257,24 +310,25 @@ def _make_flash_train(B: int, L: int, K: int, H: int, Dh: int,
         interpret=interpret, compiler_params=params)
 
     @jax.custom_vjp
-    def attn(q, k, v, wkr, u, vb, rt, cwv, cbv, kp):
+    def attn(q, k, v, wkr, u, vb, rt, cwv, cbv, kp, seed):
         return fwd_call(rt, cwv, cbv, kp, q, k, v,
-                        wkr[None], u[None, None, :], vb[None, None, :])
+                        wkr[None], u[None, None, :], vb[None, None, :], seed)
 
-    def fwd(q, k, v, wkr, u, vb, rt, cwv, cbv, kp):
-        o = attn(q, k, v, wkr, u, vb, rt, cwv, cbv, kp)
-        return o, (q, k, v, wkr, u, vb, rt, cwv, cbv, kp, o)
+    def fwd(q, k, v, wkr, u, vb, rt, cwv, cbv, kp, seed):
+        o = attn(q, k, v, wkr, u, vb, rt, cwv, cbv, kp, seed)
+        return o, (q, k, v, wkr, u, vb, rt, cwv, cbv, kp, seed, o)
 
     def bwd(res, do):
-        q, k, v, wkr, u, vb, rt, cwv, cbv, kp, o = res
+        q, k, v, wkr, u, vb, rt, cwv, cbv, kp, seed, o = res
         delta = (do.astype(jnp.float32) * o.astype(jnp.float32)) \
             .reshape(B, L, H, Dh).sum(-1)                    # (B, L, H)
         dq, dk, dv, dwkr, du8, dvb8 = bwd_call(
             rt, cwv, cbv, kp, q, k, v, wkr[None],
-            u[None, None, :], vb[None, None, :], do.astype(dt), delta)
+            u[None, None, :], vb[None, None, :], seed, do.astype(dt), delta)
         f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
         return (dq, dk, dv, dwkr.astype(wkr.dtype), du8[0].astype(u.dtype),
-                dvb8[0].astype(vb.dtype), f0(rt), f0(cwv), f0(cbv), f0(kp))
+                dvb8[0].astype(vb.dtype), f0(rt), f0(cwv), f0(cbv), f0(kp),
+                f0(seed))
 
     attn.defvjp(fwd, bwd)
     return attn
@@ -296,16 +350,30 @@ def _mesh_tp(mesh, n_heads: int) -> int:
     return tp
 
 
+def _shard_seed(attn_seed, mesh):
+    """Per-device seed decorrelation: fold the device's (dp, tp) coordinates
+    in, so dp shards draw different masks and tp shards' local head indices
+    (which restart at 0 on every device) don't collide."""
+    nt = mesh.shape.get("tp", 1)
+    base = (jnp.asarray(0, jnp.int32) if attn_seed is None
+            else jnp.asarray(attn_seed, jnp.int32).reshape(()))
+    di = jax.lax.axis_index("dp") * nt + jax.lax.axis_index("tp")
+    return base + (di.astype(jnp.int32) + 1) * jnp.int32(0x27d4eb2f)
+
+
 def sharded_flash_train_attention(mesh, q, k, v, wkr, u2, v2, win_size,
                                   win_k, mem_valid, n_heads: int,
-                                  pad_mask=None, scale: bool = True):
+                                  pad_mask=None, scale: bool = True,
+                                  attn_p: float = 0.0, attn_seed=None):
     """:func:`flash_train_attention` under shard_map (dp batch, tp heads)."""
     from jax.sharding import PartitionSpec as P
     tp = _mesh_tp(mesh, n_heads)
 
     def body(q, k, v, wkr, u2, v2, pad, ws, wk, mv):
-        return flash_train_attention(q, k, v, wkr, u2, v2, ws, wk, mv,
-                                     n_heads // tp, pad_mask=pad, scale=scale)
+        return flash_train_attention(
+            q, k, v, wkr, u2, v2, ws, wk, mv, n_heads // tp, pad_mask=pad,
+            scale=scale, attn_p=attn_p,
+            attn_seed=_shard_seed(attn_seed, mesh) if attn_p > 0.0 else None)
 
     fn = jax.shard_map(
         body, mesh=mesh,
@@ -320,13 +388,16 @@ def sharded_flash_train_attention(mesh, q, k, v, wkr, u2, v2, win_size,
 
 
 def sharded_flash_bidir_attention(mesh, q, k, v, wkr, u2, v2, n_heads: int,
-                                  pad_mask=None, scale: bool = True):
+                                  pad_mask=None, scale: bool = True,
+                                  attn_p: float = 0.0, attn_seed=None):
     from jax.sharding import PartitionSpec as P
     tp = _mesh_tp(mesh, n_heads)
 
     def body(q, k, v, wkr, u2, v2, pad):
-        return flash_bidir_attention(q, k, v, wkr, u2, v2, n_heads // tp,
-                                     pad_mask=pad, scale=scale)
+        return flash_bidir_attention(
+            q, k, v, wkr, u2, v2, n_heads // tp, pad_mask=pad, scale=scale,
+            attn_p=attn_p,
+            attn_seed=_shard_seed(attn_seed, mesh) if attn_p > 0.0 else None)
 
     fn = jax.shard_map(
         body, mesh=mesh,
@@ -340,13 +411,15 @@ def sharded_flash_bidir_attention(mesh, q, k, v, wkr, u2, v2, n_heads: int,
 
 
 def sharded_flash_cross_attention(mesh, q, k, v, wkr, u2, v2, n_heads: int,
-                                  scale: bool = True):
+                                  scale: bool = True,
+                                  attn_p: float = 0.0, attn_seed=None):
     from jax.sharding import PartitionSpec as P
     tp = _mesh_tp(mesh, n_heads)
 
     def body(q, k, v, wkr, u2, v2):
-        return flash_cross_attention(q, k, v, wkr, u2, v2, n_heads // tp,
-                                     scale=scale)
+        return flash_cross_attention(
+            q, k, v, wkr, u2, v2, n_heads // tp, scale=scale, attn_p=attn_p,
+            attn_seed=_shard_seed(attn_seed, mesh) if attn_p > 0.0 else None)
 
     fn = jax.shard_map(
         body, mesh=mesh,
@@ -392,14 +465,16 @@ def _unskew_bidir(ds, rows, cols, rows_i, W: int):
     return a + b
 
 
-def _make_bidir_fwd_kernel(W: int, H: int, Dh: int, scale: bool):
+def _make_bidir_fwd_kernel(W: int, H: int, Dh: int, scale: bool,
+                           attn_p: float = 0.0):
     sc = 1.0 / math.sqrt(Dh) if scale else 1.0
 
-    def kernel(pad_ref, q_ref, k_ref, v_ref, wkr_ref, u_ref, vb_ref, o_ref,
-               o_scr):
+    def kernel(pad_ref, q_ref, k_ref, v_ref, wkr_ref, u_ref, vb_ref,
+               seed_ref, o_ref, o_scr):
         rows = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
         blocked = jnp.broadcast_to((pad_ref[0, 0, :] != 0)[None, :], (W, W))
+        bseed = seed_ref[0, 0] + pl.program_id(0) * jnp.int32(_CB)
         for h in range(H):
             sl = pl.ds(h * Dh, Dh)
             qh = q_ref[0, :, sl].astype(jnp.float32)
@@ -415,7 +490,10 @@ def _make_bidir_fwd_kernel(W: int, H: int, Dh: int, scale: bool):
             score = jnp.where(blocked, NEG_INF, score)
             m = jnp.max(score, axis=1, keepdims=True)
             e = jnp.exp(score - m)
-            prob = (e / jnp.sum(e, axis=1, keepdims=True)).astype(kh.dtype)
+            pf = e / jnp.sum(e, axis=1, keepdims=True)
+            if attn_p > 0.0:
+                pf = pf * _hash_keep(bseed, h, (W, W), attn_p)
+            prob = pf.astype(kh.dtype)
             o_scr[:, sl] = jax.lax.dot_general(
                 prob, v_ref[0, :, sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -424,14 +502,16 @@ def _make_bidir_fwd_kernel(W: int, H: int, Dh: int, scale: bool):
     return kernel
 
 
-def _make_bidir_bwd_kernel(W: int, H: int, Dh: int, scale: bool):
+def _make_bidir_bwd_kernel(W: int, H: int, Dh: int, scale: bool,
+                           attn_p: float = 0.0):
     sc = 1.0 / math.sqrt(Dh) if scale else 1.0
 
     def kernel(pad_ref, q_ref, k_ref, v_ref, wkr_ref, u_ref, vb_ref,
-               do_ref, delta_ref,
+               seed_ref, do_ref, delta_ref,
                dq_ref, dk_ref, dv_ref, dwkr_ref, du_ref, dvb_ref,
                dk_scr, dv_scr):
         b = pl.program_id(0)
+        bseed = seed_ref[0, 0] + b * jnp.int32(_CB)
         rows = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
@@ -464,9 +544,14 @@ def _make_bidir_bwd_kernel(W: int, H: int, Dh: int, scale: bool):
             dlt = delta_ref[0, :, pl.ds(h, 1)]
             dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            ds = p * (dp - dlt) * sc
+            if attn_p > 0.0:
+                keep = _hash_keep(bseed, h, (W, W), attn_p)
+                ds = p * (keep * dp - dlt) * sc
+                p_b = (p * keep).astype(kh.dtype)
+            else:
+                ds = p * (dp - dlt) * sc
+                p_b = p.astype(kh.dtype)
             ds_b = ds.astype(kh.dtype)
-            p_b = p.astype(kh.dtype)
             dv_scr[:, sl] = jax.lax.dot_general(
                 p_b, doh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -490,16 +575,19 @@ def _make_bidir_bwd_kernel(W: int, H: int, Dh: int, scale: bool):
     return kernel
 
 
-def _make_cross_fwd_kernel(L: int, K: int, H: int, Dh: int, scale: bool):
+def _make_cross_fwd_kernel(L: int, K: int, H: int, Dh: int, scale: bool,
+                           attn_p: float = 0.0):
     """Cross-attention: no mask at all (remix passes mask=None), but the BD
     term is zeroed above the diagonal band (`_line_shift(mask=True)` —
     tril(K-L) multiply, models/multitask.py::_attn_apply r_mask=True)."""
     sc = 1.0 / math.sqrt(Dh) if scale else 1.0
 
-    def kernel(q_ref, k_ref, v_ref, wkr_ref, u_ref, vb_ref, o_ref, o_scr):
+    def kernel(q_ref, k_ref, v_ref, wkr_ref, u_ref, vb_ref, seed_ref,
+               o_ref, o_scr):
         rows = jax.lax.broadcasted_iota(jnp.int32, (L, K), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (L, K), 1)
         band = (cols <= rows + (K - L)).astype(jnp.float32)
+        bseed = seed_ref[0, 0] + pl.program_id(0) * jnp.int32(_CB)
         for h in range(H):
             sl = pl.ds(h * Dh, Dh)
             qh = q_ref[0, :, sl].astype(jnp.float32)
@@ -514,7 +602,10 @@ def _make_cross_fwd_kernel(L: int, K: int, H: int, Dh: int, scale: bool):
             score = (ac + _skew(bd, L, K) * band) * sc
             m = jnp.max(score, axis=1, keepdims=True)
             e = jnp.exp(score - m)
-            prob = (e / jnp.sum(e, axis=1, keepdims=True)).astype(kh.dtype)
+            pf = e / jnp.sum(e, axis=1, keepdims=True)
+            if attn_p > 0.0:
+                pf = pf * _hash_keep(bseed, h, (L, K), attn_p)
+            prob = pf.astype(kh.dtype)
             o_scr[:, sl] = jax.lax.dot_general(
                 prob, v_ref[0, :, sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -523,13 +614,16 @@ def _make_cross_fwd_kernel(L: int, K: int, H: int, Dh: int, scale: bool):
     return kernel
 
 
-def _make_cross_bwd_kernel(L: int, K: int, H: int, Dh: int, scale: bool):
+def _make_cross_bwd_kernel(L: int, K: int, H: int, Dh: int, scale: bool,
+                           attn_p: float = 0.0):
     sc = 1.0 / math.sqrt(Dh) if scale else 1.0
 
-    def kernel(q_ref, k_ref, v_ref, wkr_ref, u_ref, vb_ref, do_ref, delta_ref,
+    def kernel(q_ref, k_ref, v_ref, wkr_ref, u_ref, vb_ref, seed_ref,
+               do_ref, delta_ref,
                dq_ref, dk_ref, dv_ref, dwkr_ref, du_ref, dvb_ref,
                dk_scr, dv_scr):
         b = pl.program_id(0)
+        bseed = seed_ref[0, 0] + b * jnp.int32(_CB)
         rows = jax.lax.broadcasted_iota(jnp.int32, (L, K), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (L, K), 1)
         band = (cols <= rows + (K - L)).astype(jnp.float32)
@@ -561,9 +655,14 @@ def _make_cross_bwd_kernel(L: int, K: int, H: int, Dh: int, scale: bool):
             dlt = delta_ref[0, :, pl.ds(h, 1)]
             dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            ds = p * (dp - dlt) * sc
+            if attn_p > 0.0:
+                keep = _hash_keep(bseed, h, (L, K), attn_p)
+                ds = p * (keep * dp - dlt) * sc
+                p_b = (p * keep).astype(kh.dtype)
+            else:
+                ds = p * (dp - dlt) * sc
+                p_b = p.astype(kh.dtype)
             ds_b = ds.astype(kh.dtype)
-            p_b = p.astype(kh.dtype)
             dv_scr[:, sl] = jax.lax.dot_general(
                 p_b, doh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -589,7 +688,8 @@ def _make_cross_bwd_kernel(L: int, K: int, H: int, Dh: int, scale: bool):
 
 @functools.lru_cache(maxsize=None)
 def _make_flash_mt(mode: str, B: int, L: int, K: int, H: int, Dh: int,
-                   scale: bool, dtype_name: str, interpret: bool):
+                   scale: bool, dtype_name: str, interpret: bool,
+                   attn_p: float = 0.0):
     """custom_vjp attention for the multitask train step: 'bidir' (L == K,
     exact-spill rel_shift, pad-key masking) or 'cross' (tril'd BD band,
     no mask)."""
@@ -602,12 +702,15 @@ def _make_flash_mt(mode: str, B: int, L: int, K: int, H: int, Dh: int,
         assert L == K, "bidirectional rel_shift spill needs a square grid"
     pad_specs = ([pl.BlockSpec((1, 1, K), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)] if bidir else [])
+    seed_spec = pl.BlockSpec((1, 1), lambda b: (0, 0),
+                             memory_space=pltpu.SMEM)
     common = [_row((L, HD)), _row((K, HD)), _row((K, HD)),
-              _shared((K, HD)), _shared((1, HD)), _shared((1, HD))]
+              _shared((K, HD)), _shared((1, HD)), _shared((1, HD)),
+              seed_spec]
 
     fwd_call = pl.pallas_call(
-        (_make_bidir_fwd_kernel(K, H, Dh, scale) if bidir
-         else _make_cross_fwd_kernel(L, K, H, Dh, scale)),
+        (_make_bidir_fwd_kernel(K, H, Dh, scale, attn_p) if bidir
+         else _make_cross_fwd_kernel(L, K, H, Dh, scale, attn_p)),
         grid=(B,),
         in_specs=pad_specs + common,
         out_specs=_row((L, HD)),
@@ -616,8 +719,8 @@ def _make_flash_mt(mode: str, B: int, L: int, K: int, H: int, Dh: int,
         interpret=interpret, compiler_params=params)
 
     bwd_call = pl.pallas_call(
-        (_make_bidir_bwd_kernel(K, H, Dh, scale) if bidir
-         else _make_cross_bwd_kernel(L, K, H, Dh, scale)),
+        (_make_bidir_bwd_kernel(K, H, Dh, scale, attn_p) if bidir
+         else _make_cross_bwd_kernel(L, K, H, Dh, scale, attn_p)),
         grid=(B,),
         in_specs=pad_specs + common + [
             _row((L, HD)),
@@ -636,47 +739,56 @@ def _make_flash_mt(mode: str, B: int, L: int, K: int, H: int, Dh: int,
         interpret=interpret, compiler_params=params)
 
     @jax.custom_vjp
-    def attn(q, k, v, wkr, u, vb, kp):
+    def attn(q, k, v, wkr, u, vb, kp, seed):
         pre = (kp,) if bidir else ()
         return fwd_call(*pre, q, k, v, wkr[None],
-                        u[None, None, :], vb[None, None, :])
+                        u[None, None, :], vb[None, None, :], seed)
 
-    def fwd(q, k, v, wkr, u, vb, kp):
-        o = attn(q, k, v, wkr, u, vb, kp)
-        return o, (q, k, v, wkr, u, vb, kp, o)
+    def fwd(q, k, v, wkr, u, vb, kp, seed):
+        o = attn(q, k, v, wkr, u, vb, kp, seed)
+        return o, (q, k, v, wkr, u, vb, kp, seed, o)
 
     def bwd(res, do):
-        q, k, v, wkr, u, vb, kp, o = res
+        q, k, v, wkr, u, vb, kp, seed, o = res
         delta = (do.astype(jnp.float32) * o.astype(jnp.float32)) \
             .reshape(B, L, H, Dh).sum(-1)
         pre = (kp,) if bidir else ()
         dq, dk, dv, dwkr, du8, dvb8 = bwd_call(
             *pre, q, k, v, wkr[None], u[None, None, :], vb[None, None, :],
-            do.astype(dt), delta)
-        f0 = np.zeros(kp.shape, dtype=jax.dtypes.float0)
+            seed, do.astype(dt), delta)
+        f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
         return (dq, dk, dv, dwkr.astype(wkr.dtype), du8[0].astype(u.dtype),
-                dvb8[0].astype(vb.dtype), f0)
+                dvb8[0].astype(vb.dtype), f0(kp), f0(seed))
 
     attn.defvjp(fwd, bwd)
     return attn
 
 
+def _seed_arr(attn_seed):
+    return (jnp.zeros((1, 1), jnp.int32) if attn_seed is None
+            else jnp.asarray(attn_seed, jnp.int32).reshape(1, 1))
+
+
 def flash_bidir_attention(q, k, v, wkr, u_bias, v_bias, n_heads: int,
                           pad_mask=None, scale: bool = True,
-                          interpret: bool = False):
+                          interpret: bool = False, attn_p: float = 0.0,
+                          attn_seed=None):
     """Differentiable bidirectional rel-attention with the EXACT `rel_shift`
     spill the reference's encoder reads (deep_music_remix.py:2095-2097).
-    q/k/v (B, W, HD), wkr (W, HD); returns (B, W, HD)."""
+    q/k/v (B, W, HD), wkr (W, HD); returns (B, W, HD). ``attn_p``: in-kernel
+    drop_att (counter-hash mask, identical fwd/bwd)."""
     B, W, HD = q.shape
     kp = (jnp.zeros((B, 1, W), jnp.int32) if pad_mask is None
           else pad_mask.astype(jnp.int32)[:, None, :])
     fn = _make_flash_mt("bidir", B, W, W, n_heads, HD // n_heads, scale,
-                        jnp.dtype(q.dtype).name, interpret)
-    return fn(q, k, v, wkr, u_bias.reshape(-1), v_bias.reshape(-1), kp)
+                        jnp.dtype(q.dtype).name, interpret, float(attn_p))
+    return fn(q, k, v, wkr, u_bias.reshape(-1), v_bias.reshape(-1), kp,
+              _seed_arr(attn_seed))
 
 
 def flash_cross_attention(q, k, v, wkr, u_bias, v_bias, n_heads: int,
-                          scale: bool = True, interpret: bool = False):
+                          scale: bool = True, interpret: bool = False,
+                          attn_p: float = 0.0, attn_seed=None):
     """Differentiable cross-attention: unmasked softmax over all encoder
     keys, BD zeroed above the tril(K-L) band (`_line_shift(mask=True)`).
     q (B, L, HD), k/v (B, K, HD), wkr (K, HD); returns (B, L, HD)."""
@@ -684,8 +796,9 @@ def flash_cross_attention(q, k, v, wkr, u_bias, v_bias, n_heads: int,
     K = k.shape[1]
     kp = jnp.zeros((B, 1, K), jnp.int32)      # unused in cross mode
     fn = _make_flash_mt("cross", B, L, K, n_heads, HD // n_heads, scale,
-                        jnp.dtype(q.dtype).name, interpret)
-    return fn(q, k, v, wkr, u_bias.reshape(-1), v_bias.reshape(-1), kp)
+                        jnp.dtype(q.dtype).name, interpret, float(attn_p))
+    return fn(q, k, v, wkr, u_bias.reshape(-1), v_bias.reshape(-1), kp,
+              _seed_arr(attn_seed))
 
 
 def flash_train_attention(
@@ -702,9 +815,15 @@ def flash_train_attention(
     pad_mask: jnp.ndarray = None,   # (B, L) bool, True = pad (key blocked)
     scale: bool = True,
     interpret: bool = False,
+    attn_p: float = 0.0,
+    attn_seed=None,                 # traced int32 scalar (required if attn_p>0)
 ) -> jnp.ndarray:
     """Differentiable flash rel-attention over [mem, window] with the
     reference's causal-window curriculum mask. Returns (B, L, HD).
+
+    ``attn_p``/``attn_seed``: training-time dropout on the softmax
+    probabilities (drop_att), applied INSIDE the kernel via a counter-hash
+    mask recomputed bit-identically in the backward pass.
 
     Matches ``rel_attention(q, k, v, wkr, u, v, causal_window_mask(L, M,
     win_size, win_k, mem_valid) | pad_cols, shift=True)`` (bf16-level) while
@@ -733,6 +852,9 @@ def flash_train_attention(
             [jnp.zeros((B, M), jnp.int32), pad_mask.astype(jnp.int32)],
             axis=1)[:, None, :]
     fn = _make_flash_train(B, L, K, H, HD // H, scale,
-                           jnp.dtype(q.dtype).name, interpret)
+                           jnp.dtype(q.dtype).name, interpret,
+                           float(attn_p))
+    seed = (jnp.zeros((1, 1), jnp.int32) if attn_seed is None
+            else jnp.asarray(attn_seed, jnp.int32).reshape(1, 1))
     return fn(q, k, v, wkr, u_bias.reshape(-1), v_bias.reshape(-1),
-              rt, cwv, cbv, kp)
+              rt, cwv, cbv, kp, seed)

@@ -68,11 +68,16 @@ def rel_attention(
     mask: jnp.ndarray = None,  # (B|1, 1|H, Q, K) bool, True = BLOCKED (reference convention)
     scale: bool = True,
     shift: bool = True,
+    attn_p: float = 0.0,
+    attn_rng=None,
 ) -> jnp.ndarray:
     """Core AC+BD attention; returns (B, H, Q, Dh).
 
     ``shift=False`` is the single-token decode fast path where the skew is the
     identity (Q == 1) and BD indexes the distance table directly.
+    ``attn_p``/``attn_rng``: training-time dropout on the softmax
+    probabilities (fastai's ``drop_att``, deep_music_genre MultiHeadRelative
+    attention / remix:2102) — applied only when an rng is given.
     """
     dh = q.shape[-1]
     acc_t = jnp.float32
@@ -86,6 +91,9 @@ def rel_attention(
     if mask is not None:
         score = jnp.where(mask, NEG_INF, score)
     prob = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(v.dtype)
+    if attn_rng is not None and attn_p > 0.0:
+        keep = jax.random.bernoulli(attn_rng, 1.0 - attn_p, prob.shape)
+        prob = jnp.where(keep, prob / (1.0 - attn_p), jnp.zeros((), prob.dtype))
     out = jnp.einsum("bhqk,bhkd->bhqd", prob, v, preferred_element_type=acc_t)
     return out.astype(v.dtype)
 

@@ -342,11 +342,12 @@ class MultitaskLearner:
             # traced window args: the growing curriculum (win ≤ epoch+1)
             # would otherwise recompile the 85M step once per new window size
             @functools.partial(jax.jit)
-            def step(params, opt_state, xd, yd, win_size=1, win_k=1):
+            def step(params, opt_state, xd, yd, win_size=1, win_k=1,
+                     rng=None):
                 def loss_fn(p):
                     out = mt.forward(p, cfg, xd, pad_idx=pad_idx,
                                      win_size=win_size, win_k=win_k,
-                                     remat=remat)
+                                     remat=remat, rng=rng, train=True)
                     return multi_loss(out, yd, pad_idx)
                 (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
                 updates, opt_state2 = optimizer.update(grads, opt_state, params)
@@ -372,8 +373,10 @@ class MultitaskLearner:
                 else:
                     win, wk = 1, 1
                 jx, jy = shard_batch(xd), shard_batch(yd)
+                step_key = jax.random.PRNGKey(int(host_rng.integers(2**31)))
                 params, opt_state, loss, metrics = step(params, opt_state, jx, jy,
-                                                        win_size=win, win_k=wk)
+                                                        win_size=win, win_k=wk,
+                                                        rng=step_key)
                 tot += float(loss)
                 n += 1
             entry = {"epoch": epoch, "train_loss": tot / max(n, 1),

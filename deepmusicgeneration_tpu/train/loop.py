@@ -197,19 +197,20 @@ def make_sharded_multitask_step(cfg, optimizer, pad_idx: int, mesh,
 
     # win_size/win_k are traced so the per-batch curriculum window never
     # recompiles the step (each recompile of the 85M model costs minutes).
-    # Pallas kernels don't partition under GSPMD → the differentiable flash
-    # attention stays off on multi-device meshes (XLA score path instead).
+    # A bare pallas_call doesn't partition under GSPMD, so on a multi-device
+    # mesh the flash train kernels run per-device under shard_map
+    # (multitask._flash_train_block); 1-device meshes call them directly.
     n_dev = 1
     for v in getattr(mesh, "shape", {}).values():
         n_dev *= v
-    ft = False if n_dev > 1 else None
+    fmesh = mesh if n_dev > 1 else None
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, xd, yd, win_size=1, win_k=1):
+    def step(params, opt_state, xd, yd, win_size=1, win_k=1, rng=None):
         def loss_fn(p):
             out = mt.forward(p, cfg, xd, pad_idx=pad_idx,
                              win_size=win_size, win_k=win_k, remat=remat,
-                             flash_train=ft)
+                             mesh=fmesh, rng=rng, train=rng is not None)
             return multi_loss(out, yd, pad_idx)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state2 = optimizer.update(grads, opt_state, params)
