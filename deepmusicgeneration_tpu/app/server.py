@@ -179,6 +179,12 @@ def make_handler(server: MusicServer):
 
 
 def serve(port: int = 8711, host: str = "127.0.0.1", max_batch: int = 16):
+    # Request threads jit-compile the multitask engines on first use;
+    # XLA:CPU's compiler recursion can overflow the default 8 MB pthread
+    # stack (same hazard as tasks/serve.py). All ThreadingHTTPServer request
+    # threads are spawned after this point, so the knob covers them.
+    import threading
+    threading.stack_size(256 * 1024 * 1024)
     server = MusicServer(max_batch=max_batch)
     httpd = ThreadingHTTPServer((host, port), make_handler(server))
     print(f"serving on http://{host}:{port} "

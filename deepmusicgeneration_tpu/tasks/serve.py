@@ -72,8 +72,19 @@ class GenerationService:
         self.max_wait_s = max_wait_s
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._closed = False
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        # The worker thread jit-compiles on first use of each request shape.
+        # XLA:CPU's compiler recursion can overflow the default 8 MB pthread
+        # stack (observed SIGSEGV in backend_compile_and_load on the 8-device
+        # host mesh; 64 MB was still not enough). 256 MB is lazily committed.
+        # stack_size() is a process-global knob for *new* threads —
+        # set, spawn, restore.
+        prev = threading.stack_size()
+        try:
+            threading.stack_size(256 * 1024 * 1024)
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
+        finally:
+            threading.stack_size(prev)
 
     def submit(self, seed_idxenc: np.ndarray, n_words: int = 256,
                temperatures=(1.0, 1.0, 1.0), top_k: int = 30,

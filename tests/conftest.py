@@ -12,6 +12,34 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Tests must never touch the persistent compilation cache: XLA:CPU executable
+# serialization has segfaulted mid-suite (jax compilation_cache
+# put_executable_and_time → executable.serialize()), and test_app's cli import
+# would otherwise enable it process-wide. This master switch wins even if
+# utils.compile_cache.enable() runs later.
+jax.config.update("jax_enable_compilation_cache", False)
+
+
+import gc  # noqa: E402
+
+import pytest as _pytest  # noqa: E402
+
+
+@_pytest.fixture(autouse=True, scope="module")
+def _bound_jit_code_maps():
+    """Drop compiled executables after every test module.
+
+    Each XLA:CPU jit compile mmaps JIT code pages that stay mapped while the
+    executable lives in jax's caches. Over the full suite (~500 compiles in
+    one process) the map count climbs to vm.max_map_count (65530 default) and
+    the next compile SIGSEGVs inside backend_compile_and_load — measured:
+    maps=65531 at the crash. Clearing per module keeps the count bounded
+    (~ a few thousand); cross-module recompiles don't occur because fixtures
+    are module-scoped anyway.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
