@@ -368,8 +368,10 @@ def prefill(
         # that only amortizes with enough rows; single-stream prefill is
         # faster on the XLA path. W <= 2048 keeps the (W, W) f32 score tile
         # in VMEM (16 MB at 2048; measured 181 ms vs 380 ms XLA at B=8).
+        # 2048 < W <= 8192 uses the row-blocked kernel at any B — the XLA
+        # path's rel_shift relayout grows quadratically past that point.
         flash = (jax.default_backend() == "tpu" and dt == jnp.bfloat16
-                 and W <= 2048 and B >= 8)
+                 and ((W <= 2048 and B >= 8) or 2048 < W <= 8192))
     if not flash:
         mask = causal_window_mask(W, 0, 1, 1)
         mask = mask | pad_mask[:, None, None, :]

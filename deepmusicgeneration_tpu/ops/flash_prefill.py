@@ -30,6 +30,102 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
+def _make_blocked_kernel(W: int, Lb: int, H: int, Dh: int, scale: bool):
+    """Row-blocked causal prefill for W beyond the whole-(W, W)-in-VMEM limit
+    (2048): grid (B, W/Lb), each cell attends Lb query rows against all W
+    keys, so the biggest f32 tile is (Lb, W) — W up to 8192 fits at Lb=512.
+    k/v blocks are indexed by batch only, staying VMEM-resident across the
+    row blocks of one batch row.
+
+    The rel_shift skew needs table index t = j + (W-1-r0) - i for local row i
+    of the block at row origin r0. The caller pre-rotates the wkr table per
+    block (left by W - r0 - Lb, host-side roll on a (W, HD) strip), after
+    which the in-kernel skew is exactly flash_train._skew(·, Lb, W) — a
+    constant plus one stride-1 rotate, both static. Wrapped positions land
+    only at masked (future) columns, as in the unblocked kernel."""
+    HD = H * Dh
+    sc = 1.0 / math.sqrt(Dh) if scale else 1.0
+
+    def kernel(q_ref, k_ref, v_ref, wkr_ref, u_ref, vb_ref, pad_ref, o_ref,
+               sc_scr):
+        r0 = pl.program_id(1) * Lb
+        rows_g = r0 + jax.lax.broadcasted_iota(jnp.int32, (Lb, W), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Lb, W), 1)
+        keypad = pad_ref[0, 0, :] != 0
+        blocked = (cols > rows_g) | keypad[None, :]
+
+        for h in range(H):
+            sl = pl.ds(h * Dh, Dh)
+            qh = q_ref[0, :, sl].astype(jnp.float32)       # (Lb, Dh)
+            kh = k_ref[0, :, sl]                           # (W, Dh) bf16
+            wh = wkr_ref[0, :, sl]                         # (W, Dh) pre-rotated
+            qu = (qh + u_ref[0, 0:1, sl].astype(jnp.float32)).astype(kh.dtype)
+            qv = (qh + vb_ref[0, 0:1, sl].astype(jnp.float32)).astype(kh.dtype)
+            ac = jax.lax.dot_general(                      # (Lb, W) f32
+                qu, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            bd = jax.lax.dot_general(
+                qv, wh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # skew within the block: out[i, j] = bd[i, (j + Lb-1-i) mod W],
+            # same composition as flash_train._skew(bd, Lb, W)
+            if W - Lb:
+                bd = pltpu.roll(bd, W - Lb, 1)
+            bd = pltpu.roll(bd, 1, 1, stride=1, stride_axis=0)
+            score = (ac + bd) * sc
+            score = jnp.where(blocked, NEG_INF, score)
+            m = jnp.max(score, axis=1, keepdims=True)
+            e = jnp.exp(score - m)
+            denom = jnp.sum(e, axis=1, keepdims=True)
+            prob = (e / denom).astype(kh.dtype)            # (Lb, W) bf16
+            vh = v_ref[0, :, sl]
+            pv = jax.lax.dot_general(                      # (Lb, Dh) f32
+                prob, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sc_scr[:, sl] = pv
+
+        o_ref[0, :, :] = sc_scr[:, :].astype(o_ref.dtype)
+
+    return kernel
+
+
+def _blocked_prefill_call(q, k, v, wkr, u2, v2, padi, H, Dh, scale, Lb,
+                          interpret):
+    B, W, HD = q.shape
+    n_rb = W // Lb
+    # per-block pre-rotated tables: block rb needs wkr rolled left by
+    # (W - r0 - Lb); one (n_rb, W, HD) stack built once per call
+    rbs = jnp.arange(n_rb)
+    wkr_stack = jax.vmap(
+        lambda rb: jnp.roll(wkr, -(W - rb * Lb - Lb), axis=0))(rbs)
+
+    row_blk = pl.BlockSpec((1, Lb, HD), lambda b, rb: (b, rb, 0),
+                           memory_space=pltpu.VMEM)
+    full_row = pl.BlockSpec((1, W, HD), lambda b, rb: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    per_rb = pl.BlockSpec((1, W, HD), lambda b, rb: (rb, 0, 0),
+                          memory_space=pltpu.VMEM)
+    shared = pl.BlockSpec((1, 1, HD), lambda b, rb: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_blocked_kernel(W, Lb, H, Dh, scale),
+        grid=(B, n_rb),
+        in_specs=[
+            row_blk, full_row, full_row,
+            per_rb, shared, shared,
+            pl.BlockSpec((1, 1, W), lambda b, rb: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=row_blk,
+        out_shape=jax.ShapeDtypeStruct((B, W, HD), q.dtype),
+        scratch_shapes=[pltpu.VMEM((Lb, HD), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(q, k, v, wkr_stack, u2, v2, padi)
+
+
 def _make_kernel(W: int, H: int, Dh: int, scale: bool):
     HD = H * Dh
     sc = 1.0 / math.sqrt(Dh) if scale else 1.0
@@ -191,7 +287,8 @@ def flash_encoder_attention(
     )(q, k, v, wkr3, u2, v2, padi)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "n_heads", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "n_heads", "interpret",
+                                             "block_rows"))
 def flash_prefill_attention(
     q: jnp.ndarray,          # (B, W, HD) bf16 — pre-projection per head
     k: jnp.ndarray,          # (B, W, HD) bf16
@@ -203,16 +300,28 @@ def flash_prefill_attention(
     n_heads: int,
     scale: bool = True,
     interpret: bool = False,
+    block_rows: int = 0,     # 0 = auto: whole-W cell if W <= 2048, else 512
 ) -> jnp.ndarray:
-    """Returns attn (B, W, HD), same math as rel_attention + causal/pad mask."""
+    """Returns attn (B, W, HD), same math as rel_attention + causal/pad mask.
+
+    W <= 2048 runs the whole (W, W) attention per grid cell; beyond that the
+    row-blocked kernel keeps the score tile at (block_rows, W), lifting the
+    VMEM limit to W = 8192 (k/v/wkr residency bound at HD = 768)."""
     B, W, HD = q.shape
     H = n_heads
     Dh = HD // H
-    kernel = _make_kernel(W, H, Dh, scale)
     u2 = u_bias.reshape(1, H * Dh)[None]     # (1, 1, HD)
     v2 = v_bias.reshape(1, H * Dh)[None]
     wkr3 = wkr[None]                          # (1, W, HD)
     padi = pad_mask.astype(jnp.int32)[:, None, :]   # (B, 1, W)
+    if block_rows == 0 and W > 2048:
+        block_rows = 512
+    if block_rows:
+        if W % block_rows:
+            raise ValueError(f"W={W} not divisible by block_rows={block_rows}")
+        return _blocked_prefill_call(q, k, v, wkr, u2, v2, padi, H, Dh,
+                                     scale, block_rows, interpret)
+    kernel = _make_kernel(W, H, Dh, scale)
 
     row = lambda shape: pl.BlockSpec((1, *shape), lambda b: (b, *([0] * len(shape))),
                                      memory_space=pltpu.VMEM)

@@ -430,3 +430,63 @@ def test_flash_prefill_matches_xla_prefill(setup):
         np.asarray(ref_cache.v.astype(jnp.float32)), atol=0.05)
     np.testing.assert_array_equal(np.asarray(got_cache.valid),
                                   np.asarray(ref_cache.valid))
+
+
+def test_blocked_prefill_matches_whole_kernel():
+    """Row-blocked prefill (W > 2048 enabler) vs the whole-(W, W) kernel:
+    identical arithmetic, so interpret-mode outputs must agree to f32
+    rounding. Exercises the per-block pre-rotated wkr table + static skew."""
+    from deepmusicgeneration_tpu.ops.flash_prefill import flash_prefill_attention
+    B, W, H, Dh = 3, 512, 2, 64
+    HD = H * Dh
+    rng = np.random.default_rng(11)
+    r = lambda *s: jnp.asarray(rng.normal(scale=0.4, size=s), jnp.float32)
+    q, k, v = r(B, W, HD), r(B, W, HD), r(B, W, HD)
+    wkr, u, vb = r(W, HD), r(H, Dh), r(H, Dh)
+    pad = jnp.zeros((B, W), bool).at[0, :33].set(True)
+    whole = flash_prefill_attention(q, k, v, wkr, u, vb, pad, H,
+                                    interpret=True)
+    for lb in (128, 256):
+        blocked = flash_prefill_attention(q, k, v, wkr, u, vb, pad, H,
+                                          interpret=True, block_rows=lb)
+        np.testing.assert_allclose(np.asarray(blocked), np.asarray(whole),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"block_rows={lb}")
+
+
+def test_blocked_prefill_long_window_matches_xla():
+    """W = 2560 (past the whole-kernel 2048 VMEM limit) through txl.prefill:
+    the auto gate picks the row-blocked kernel; last-token logits and KV
+    cache must match the XLA rel_attention path."""
+    from unittest import mock
+    from deepmusicgeneration_tpu.ops import flash_prefill
+    cfg = TXLConfig(vocab_size=324, n_layers=1, d_model=128, d_inner=256,
+                    n_heads=2, d_head=64, ctx_len=2560, mem_len=512,
+                    dtype="bfloat16", bias=False)
+    params = txl.init_txl(jax.random.PRNGKey(2), cfg)
+    from deepmusicgeneration_tpu.models.precision import cast_params_for_inference
+    params = cast_params_for_inference(params)
+    B, W = 2, 2560
+    rng = np.random.default_rng(12)
+    toks = jnp.asarray(rng.integers(12, 140, (B, W)), jnp.int32)
+    pad = jnp.zeros((B, W), bool).at[0, :301].set(True)
+    toks = jnp.where(pad, 1, toks)
+
+    ref_logits, ref_cache = txl.prefill(params, cfg, toks, pad, flash=False)
+
+    orig = flash_prefill.flash_prefill_attention
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch.object(flash_prefill, "flash_prefill_attention", interp):
+        got_logits, got_cache = txl.prefill(params, cfg, toks, pad, flash=True)
+
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               atol=0.15, rtol=0.05)
+    assert (np.argmax(np.asarray(got_logits), -1)
+            == np.argmax(np.asarray(ref_logits), -1)).all()
+    np.testing.assert_allclose(
+        np.asarray(got_cache.k.astype(jnp.float32)),
+        np.asarray(ref_cache.k.astype(jnp.float32)), atol=0.05)
