@@ -23,8 +23,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
-    """Build a (dp, tp) mesh over ``devices`` (default: all local devices).
+def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None,
+              extra: Optional[dict] = None) -> Mesh:
+    """Build a (dp, tp[, *extra]) mesh over ``devices`` (default: all local
+    devices). ``extra`` appends named axes, e.g. ``extra={"sp": 4}`` for the
+    sequence-parallel ring (ops/ring_attention.py).
 
     With the default device list, ``dp*tp`` must equal the device count —
     silently dropping devices is almost always a bug. To use a subset on
@@ -36,22 +39,28 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
     explicit = devices is not None
     devices = devices if explicit else jax.devices()
     n = len(devices)
+    extra = extra or {}
+    ex_sizes = list(extra.values())
+    ex = int(np.prod(ex_sizes)) if ex_sizes else 1
     if dp is None:
-        if n % tp != 0:
-            raise ValueError(f"tp={tp} does not divide the {n} available devices")
-        dp = n // tp
-    want = dp * tp
+        if n % (tp * ex) != 0:
+            raise ValueError(
+                f"tp={tp} x extra={extra} does not divide the {n} available "
+                "devices")
+        dp = n // (tp * ex)
+    want = dp * tp * ex
+    shape_str = "x".join(str(s) for s in (dp, tp, *ex_sizes))
     hint = ("; for a virtual mesh set JAX_PLATFORMS=cpu "
             f"XLA_FLAGS=--xla_force_host_platform_device_count={want} "
             "before importing jax")
     if want > n:
-        raise ValueError(f"mesh {dp}x{tp} needs {want} devices, have {n}{hint}")
+        raise ValueError(f"mesh {shape_str} needs {want} devices, have {n}{hint}")
     if want < n and not explicit:
         raise ValueError(
-            f"mesh {dp}x{tp} uses only {want} of {n} devices; pass the device "
+            f"mesh {shape_str} uses only {want} of {n} devices; pass the device "
             f"subset explicitly (devices=jax.devices()[:{want}]) if intended")
-    arr = np.array(devices[:want]).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+    arr = np.array(devices[:want]).reshape(dp, tp, *ex_sizes)
+    return Mesh(arr, axis_names=("dp", "tp", *extra.keys()))
 
 
 def txl_param_specs(params) -> dict:
