@@ -22,15 +22,25 @@ _DEFAULT = os.path.expanduser("~/.cache/dmg_tpu_xla")
 
 
 def _host_fingerprint() -> str:
+    # Hash BOTH the model name and the flags line: XLA:CPU derives extra
+    # target features from the CPU model (e.g. +prefer-no-gather), so two
+    # hosts with identical cpuinfo flags but different models still produce
+    # incompatible AOT code (observed: "machine type ... doesn't match"
+    # loading a same-flags entry, with a SIGILL warning).
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+                if line.startswith(("model name", "flags")):
+                    parts.append(line)
+                    if len(parts) == 2:
+                        break
     except OSError:
         pass
-    import platform
-    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+    if not parts:
+        import platform
+        parts = [platform.processor()]
+    return hashlib.sha1("".join(parts).encode()).hexdigest()[:10]
 
 
 def enable(cache_dir: str = None) -> str:
