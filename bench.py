@@ -41,6 +41,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_cpu_baseline.json")
+LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_last_good.json")
 
 N_WORDS = 1024
 CFG_KEY = "txl41m-mem512-n1024-v2"
@@ -90,6 +92,21 @@ def emit(tag=""):
     with _RESULT_LOCK:
         if tag:
             RESULT["detail"]["emit"] = tag
+        if RESULT["value"] > 0 and RESULT["detail"].get("backend") == "tpu":
+            # remember a complete TPU measurement for stalled future runs
+            try:
+                json.dump({"when": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+                           "result": RESULT}, open(LAST_GOOD_PATH, "w"))
+            except Exception:
+                pass
+        elif RESULT["value"] == 0 and os.path.exists(LAST_GOOD_PATH):
+            # the tunnel stalled before any live measurement landed: surface
+            # the last complete TPU run, clearly labeled as non-live history
+            try:
+                RESULT["detail"]["last_good_tpu_run_not_live"] = \
+                    json.load(open(LAST_GOOD_PATH))
+            except Exception:
+                pass
         print(json.dumps(RESULT), flush=True)
 
 
@@ -246,6 +263,59 @@ def run_batched_bench(engine, cfg, vocab, sweep: bool):
              batch64_tokens_per_sec=max(by_kernel.values()),
              batch64_by_kernel=dict(by_kernel),
              batch64_roofline=dict(rf_by_kernel))
+
+
+def run_speculative_bench():
+    """Speculative decoding (prompt-lookup drafts, exact sampling) vs the
+    sequential engine on the TRAINED 41M checkpoint.
+
+    Uses the trained checkpoint because acceptance comes from the model
+    actually predicting music: a random-init model's sampled continuations
+    are near-uniform over the grammar-legal set and nothing is accepted.
+    App-default sampling (top_k=30, top_p=0.65, the reference's engine
+    settings — app_utils.py:139-140)."""
+    import os as _os
+    from deepmusicgeneration_tpu.codec.item import MusicItem
+    from deepmusicgeneration_tpu.train.learner import MusicLearner
+
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "checkpoints", "synth_genre_model")
+    if not _os.path.exists(_os.path.join(path, "manifest.json")):
+        log("speculative bench: no trained checkpoint, skipping")
+        return
+    learner = MusicLearner.load(path)
+    engine = learner.engine
+    seed = MusicItem.from_file("/root/reference/fur_elise.mid", learner.vocab,
+                               genre="electronic").trim_to_beat(32) \
+        .remove_eos().data
+    n_words = 1024
+    kw = dict(n_words=n_words, temperatures=(1.1, 0.9, 1.0), min_bars=1_000_000,
+              top_k=30, top_p=0.65)
+
+    seq = lambda s: engine.generate(seed, seed=s, **kw)
+    seq(0)                                             # compile + warm
+    t0 = time.time()
+    out_seq = seq(1)
+    dt_seq = time.time() - t0
+    seq_tps = len(out_seq) / dt_seq
+    log(f"trained seq decode: {len(out_seq)} tokens in {dt_seq:.2f}s → "
+        f"{seq_tps:.0f} tok/s")
+    bank("spec:seq", trained_seq_tokens_per_sec=round(seq_tps, 1))
+
+    if budget_left() < 90:
+        return
+    spec = lambda s: engine.generate_speculative(seed, seed=s, gamma=8,
+                                                 return_stats=True, **kw)
+    spec(0)
+    t0 = time.time()
+    out_spec, stats = spec(1)
+    dt_spec = time.time() - t0
+    spec_tps = len(out_spec) / dt_spec
+    log(f"speculative decode: {len(out_spec)} tokens in {dt_spec:.2f}s → "
+        f"{spec_tps:.0f} tok/s  {stats}")
+    bank("spec:spec", spec_decode_tokens_per_sec=round(spec_tps, 1),
+         spec_stats={k: round(v, 3) for k, v in stats.items()},
+         spec_vs_seq=round(spec_tps / seq_tps, 2))
 
 
 def run_multitask_bench():

@@ -98,21 +98,18 @@ class SampleState(NamedTuple):
     n_emitted: jnp.ndarray    # (B,) int32
 
 
-def sample_next_token(
+def prepare_logits(
     logits: jnp.ndarray,          # (B, V) fp32
     st: SampleState,
     tables: DecodeTables,
     temperatures: jnp.ndarray,    # (3,) fp32
-    top_p: jnp.ndarray,           # scalar
     min_bars: jnp.ndarray,        # scalar int32
     allowed_ins: jnp.ndarray,     # (V,) bool overlay
-    rng: jax.Array,
     settings: SamplerSettings,
-    step_frac: jnp.ndarray,       # scalar fp32: i / n_words
-    max_pos: Optional[jnp.ndarray] = None,  # (B,) int32 (pos_stop)
-) -> Tuple[jnp.ndarray, SampleState]:
-    """One full sampling step given model logits. Pure; called inside scan."""
-    B, V = logits.shape
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pre-sampling logit processing: temperature slot + repeat penalty,
+    min-bars BOS ban, grammar mask. Returns (masked logits, last_xxsep).
+    Shared by the sequential sampler and the speculative verifier."""
     prev = st.prev_tok
     # last_xxsep flag update from prev (deep_music_genre.py:1901-1905)
     last_xxsep = jnp.where(prev == tables.sep_idx, True,
@@ -136,12 +133,22 @@ def sample_next_token(
     ok = tables.allowed[cls, last_xxsep.astype(jnp.int32)]  # (B, V)
     ok = ok & allowed_ins[None, :]
     logits = jnp.where(ok, logits, FILTER_VALUE)
+    return logits, last_xxsep
 
-    # fused single-sort top-k/top-p filter + draw (+ survivor count)
-    idx, nc = filter_sample_sorted(rng, logits, settings.top_k, top_p,
-                                   greedy=settings.greedy)
-    idx = idx.astype(jnp.int32)
 
+def advance_state(
+    idx: jnp.ndarray,             # (B,) int32 sampled token
+    nc: jnp.ndarray,              # (B,) int32 filter-survivor count
+    st: SampleState,
+    last_xxsep: jnp.ndarray,      # (B,) bool from prepare_logits
+    tables: DecodeTables,
+    settings: SamplerSettings,
+    step_frac: jnp.ndarray,
+    max_pos: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, SampleState]:
+    """Post-sampling bookkeeping: repeat count, beat position, stopping,
+    pad semantics. Returns (emitted idx or pad, new state)."""
+    prev = st.prev_tok
     # repeat-count bookkeeping
     repeat_count = jnp.where(nc <= 2, st.repeat_count + 1, st.repeat_count // 2)
 
@@ -176,6 +183,30 @@ def sample_next_token(
         n_emitted=n_emitted,
     )
     return idx, new_st
+
+
+def sample_next_token(
+    logits: jnp.ndarray,          # (B, V) fp32
+    st: SampleState,
+    tables: DecodeTables,
+    temperatures: jnp.ndarray,    # (3,) fp32
+    top_p: jnp.ndarray,           # scalar
+    min_bars: jnp.ndarray,        # scalar int32
+    allowed_ins: jnp.ndarray,     # (V,) bool overlay
+    rng: jax.Array,
+    settings: SamplerSettings,
+    step_frac: jnp.ndarray,       # scalar fp32: i / n_words
+    max_pos: Optional[jnp.ndarray] = None,  # (B,) int32 (pos_stop)
+) -> Tuple[jnp.ndarray, SampleState]:
+    """One full sampling step given model logits. Pure; called inside scan."""
+    logits, last_xxsep = prepare_logits(logits, st, tables, temperatures,
+                                        min_bars, allowed_ins, settings)
+    # fused single-sort top-k/top-p filter + draw (+ survivor count)
+    idx, nc = filter_sample_sorted(rng, logits, settings.top_k, top_p,
+                                   greedy=settings.greedy)
+    idx = idx.astype(jnp.int32)
+    return advance_state(idx, nc, st, last_xxsep, tables, settings,
+                         step_frac, max_pos)
 
 
 @functools.partial(
@@ -472,6 +503,13 @@ class GenerationEngine:
             temp_mode=temp_mode, seed=seed, mem_len=mem_len, kv_int8=kv_int8,
             decode_kernel=decode_kernel, rows_per_cell=rows_per_cell)
         return toks[0][: lengths[0]]
+
+    def generate_speculative(self, seed_idxenc, **kw):
+        """Exact speculative decoding (prompt-lookup drafts verified by
+        chunked forwards) for single-prompt latency; same output distribution
+        as ``generate(decode_kernel='xla')``. See decode/speculative.py."""
+        from .speculative import generate_speculative
+        return generate_speculative(self, seed_idxenc, **kw)
 
     def generate_batch(
         self,
