@@ -207,7 +207,7 @@ def roofline(cfg, B: int, M: int, kv_bits: int, tok_per_sec: float,
 
 
 def _kernel_traffic_args(kernel):
-    if kernel in ("multirow", None):
+    if kernel in ("multirow", "xla", None):
         kv_bits = 16
     elif (kernel or "").startswith("slab4"):
         kv_bits = 4
@@ -252,9 +252,11 @@ def run_batched_bench(engine, cfg, vocab, sweep: bool):
             log(f"batched decode kernel {kernel} failed: {e}")
             continue
         tps = batch * n_words / dt
-        kv_bits, mode, w_bits = _kernel_traffic_args(kernel)
+        resolved = engine.resolve_kernel(batch, cfg.mem_len, kernel)
+        kv_bits, mode, w_bits = _kernel_traffic_args(resolved)
         rf = roofline(cfg, batch, cfg.mem_len, kv_bits, tps, mode, w_bits)
-        name = (kernel or "auto") + (f"_r{rpc}" if rpc else "")
+        name = (f"auto({resolved})" if kernel is None else kernel) \
+            + (f"_r{rpc}" if rpc else "")
         by_kernel[name] = round(tps, 1)
         rf_by_kernel[name] = rf
         log(f"batched decode [{name}]: B={batch} × {n_words} tokens in "
@@ -499,6 +501,20 @@ def run_multitask_train_bench():
     bank("mt_train", **detail)
 
 
+def committed_denominator() -> float:
+    """The CPU denominator committed to the repo (docs/cpu_baseline_runs.json,
+    ``denominator_tps``): the highest median ever measured on current code —
+    conservative in the TPU's disfavor, and available on a fresh clone where
+    the gitignored live cache does not exist."""
+    try:
+        d = json.load(open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "docs", "cpu_baseline_runs.json")))
+        return float(d.get("denominator_tps", 0.0))
+    except Exception:
+        return 0.0
+
+
 def cpu_baseline() -> float:
     if os.path.exists(CACHE_PATH):
         try:
@@ -545,17 +561,23 @@ def main():
     log(f"backend: {platform} ({jax.devices()})")
     bank("init", backend=platform)
 
-    # Load the cached CPU denominator up front so even an early watchdog emit
-    # carries a real vs_baseline; re-measure later only if missing.
+    # Load the CPU denominator up front so even an early watchdog emit
+    # carries a real vs_baseline. Per the committed policy
+    # (docs/cpu_baseline_runs.json) the denominator is the HIGHEST median
+    # ever measured — so take the max of the committed figure and the live
+    # cache, and re-measure later only if both are missing.
     base = 0.0
-    if platform != "cpu" and os.path.exists(CACHE_PATH):
-        try:
-            d = json.load(open(CACHE_PATH))
-            if d.get("key") == CFG_KEY:
-                base = d["tps"]
-                bank("cpu_cache", cpu_baseline_tps=round(base, 2))
-        except Exception:
-            pass
+    if platform != "cpu":
+        base = committed_denominator()
+        if os.path.exists(CACHE_PATH):
+            try:
+                d = json.load(open(CACHE_PATH))
+                if d.get("key") == CFG_KEY:
+                    base = max(base, d["tps"])
+            except Exception:
+                pass
+        if base > 0:
+            bank("cpu_committed", cpu_baseline_tps=round(base, 2))
 
     # tiny dispatch to absorb any tunnel stall before the real measurements
     t0 = time.time()

@@ -438,6 +438,32 @@ class GenerationEngine:
             return base and mem_len % 32 == 0
         return base
 
+    def resolve_kernel(self, batch: int, mem_len: Optional[int] = None,
+                       decode_kernel: Optional[str] = None) -> str:
+        """The kernel ``generate_batch(decode_kernel=None)`` would auto-pick
+        for this (batch, mem_len) — hardware-measured policy on v5e, 41M
+        flagship:
+
+        - 8-row cells (B % 8 == 0): 'slab' — slot-major int8 KV, bf16
+          scores; 49k tok/s at B=64 vs 10.9k xla.
+        - small batches (B < 8): 'slab_w8' — decode is weight-DMA-bound
+          there, int8 weights nearly halve per-step HBM bytes; 6.1k tok/s
+          at B=1 vs 3.9k xla.
+        - odd B > 8 would fall to 1-row cells (per-cell overhead wins):
+          keep the 'xla' ring step.
+
+        Callers (bench rooflines, logs) use this to attribute auto runs to
+        the kernel that actually executed."""
+        if decode_kernel is not None:
+            return decode_kernel
+        mem_len = mem_len or self.cfg.mem_len
+        fused_ok = self._fused_ok(mem_len)
+        if fused_ok and batch % 8 == 0:
+            return "slab"
+        if fused_ok and batch < 8:
+            return "slab_w8"
+        return "xla"
+
     def _log_kernel_choice(self, kernel: str, batch: int) -> None:
         """Auto-selected fused kernels quantize the KV cache (and, for
         slab_w8, the weights) to int8 — ~1e-2 logit deltas vs the exact bf16
@@ -560,22 +586,8 @@ class GenerationEngine:
 
         if len(temperatures) == 2:
             temperatures = (temperatures[0], temperatures[1], temperatures[1])
-        fused_ok = self._fused_ok(mem_len)
         if decode_kernel is None:
-            # auto (hardware-measured on v5e, 41M flagship):
-            # - 8-row cells (B%8==0): slab — slot-major int8 KV, bf16 scores,
-            #   49k tok/s at B=64 vs 10.9k xla
-            # - small batches (B<8): slab_w8 — decode is weight-DMA-bound
-            #   there, int8 weights nearly halve the per-step HBM bytes;
-            #   6.1k tok/s at B=1 vs 3.9k xla
-            # - odd B>8 would fall to 1-row cells (per-cell overhead wins):
-            #   keep the xla ring step
-            if fused_ok and B % 8 == 0:
-                decode_kernel = "slab"
-            elif fused_ok and B < 8:
-                decode_kernel = "slab_w8"
-            else:
-                decode_kernel = "xla"
+            decode_kernel = self.resolve_kernel(B, mem_len)
             if decode_kernel != "xla":
                 self._log_kernel_choice(decode_kernel, B)
         if decode_kernel != "xla" and not self._fused_ok(mem_len, decode_kernel):
