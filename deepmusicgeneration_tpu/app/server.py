@@ -29,7 +29,12 @@ import numpy as np
 
 class MusicServer:
     def __init__(self, genre_learner=None, multitask_learner=None,
-                 max_batch: int = 16):
+                 max_batch: int = 16, continuous: bool = False):
+        """``continuous=True`` serves /generate from the continuous-batching
+        engine (decode/continuous.py): requests join a resident device batch
+        within one chunk of arriving — per-request sampling settings share a
+        batch, early-stopping rows free their lane immediately — instead of
+        the static coalescing service's batch-at-a-time schedule."""
         from ..vocab import MusicVocab
         self.vocab = MusicVocab.create()
         self._genre = genre_learner
@@ -37,6 +42,7 @@ class MusicServer:
         self._service = None
         self._lock = threading.Lock()
         self.max_batch = max_batch
+        self.continuous = continuous
 
     # lazy model loading so /health works instantly
     def genre(self):
@@ -55,8 +61,14 @@ class MusicServer:
 
     def service(self):
         if self._service is None:
-            from ..tasks.serve import GenerationService
-            self._service = GenerationService(self.genre(), max_batch=self.max_batch)
+            if self.continuous:
+                from ..decode.continuous import ContinuousGenerationService
+                self._service = ContinuousGenerationService(
+                    self.genre(), n_slots=self.max_batch)
+            else:
+                from ..tasks.serve import GenerationService
+                self._service = GenerationService(self.genre(),
+                                                  max_batch=self.max_batch)
         return self._service
 
     # -- handlers ------------------------------------------------------------
@@ -178,14 +190,15 @@ def make_handler(server: MusicServer):
     return Handler
 
 
-def serve(port: int = 8711, host: str = "127.0.0.1", max_batch: int = 16):
+def serve(port: int = 8711, host: str = "127.0.0.1", max_batch: int = 16,
+          continuous: bool = False):
     # Request threads jit-compile the multitask engines on first use;
     # XLA:CPU's compiler recursion can overflow the default 8 MB pthread
     # stack (same hazard as tasks/serve.py). All ThreadingHTTPServer request
     # threads are spawned after this point, so the knob covers them.
     import threading
     threading.stack_size(256 * 1024 * 1024)
-    server = MusicServer(max_batch=max_batch)
+    server = MusicServer(max_batch=max_batch, continuous=continuous)
     httpd = ThreadingHTTPServer((host, port), make_handler(server))
     print(f"serving on http://{host}:{port} "
           f"(/health /tokenize /generate /remix /harmonize)")
@@ -201,7 +214,11 @@ if __name__ == "__main__":
     ap.add_argument("--port", type=int, default=8711)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--continuous", action="store_true",
+                    help="serve /generate from the continuous-batching "
+                         "engine (resident device batch, per-request "
+                         "settings, chunk-latency admission)")
     a = ap.parse_args()
     from ..utils.compile_cache import enable
     enable()
-    serve(a.port, a.host, a.max_batch)
+    serve(a.port, a.host, a.max_batch, continuous=a.continuous)

@@ -102,14 +102,16 @@ def prepare_logits(
     logits: jnp.ndarray,          # (B, V) fp32
     st: SampleState,
     tables: DecodeTables,
-    temperatures: jnp.ndarray,    # (3,) fp32
-    min_bars: jnp.ndarray,        # scalar int32
-    allowed_ins: jnp.ndarray,     # (V,) bool overlay
+    temperatures: jnp.ndarray,    # (3,) fp32 — or (B, 3) per-row
+    min_bars: jnp.ndarray,        # scalar int32 — or (B,) per-row
+    allowed_ins: jnp.ndarray,     # (V,) bool overlay — or (B, V) per-row
     settings: SamplerSettings,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pre-sampling logit processing: temperature slot + repeat penalty,
     min-bars BOS ban, grammar mask. Returns (masked logits, last_xxsep).
-    Shared by the sequential sampler and the speculative verifier."""
+    Shared by the sequential sampler, the speculative verifier, and the
+    continuous-batching engine (which passes the per-row parameter shapes:
+    every resident slot carries its own request's settings)."""
     prev = st.prev_tok
     # last_xxsep flag update from prev (deep_music_genre.py:1901-1905)
     last_xxsep = jnp.where(prev == tables.sep_idx, True,
@@ -117,7 +119,11 @@ def prepare_logits(
 
     cls = tables.prev_class[prev]                       # (B,)
     slot = tables.temp_slot[prev]
-    temperature = temperatures[slot]                    # (B,)
+    if temperatures.ndim == 2:                          # per-row (B, 3)
+        temperature = jnp.take_along_axis(
+            temperatures, slot[:, None], axis=1)[:, 0]  # (B,)
+    else:
+        temperature = temperatures[slot]                # (B,)
     penalty = jnp.maximum(0.0, jnp.log((st.repeat_count + 1) / 4.0) / 5.0) * temperature
     temperature = temperature + penalty
     logits = logits / temperature[:, None]
@@ -131,7 +137,7 @@ def prepare_logits(
 
     # grammar mask: gather the (V,) allowed row per batch element
     ok = tables.allowed[cls, last_xxsep.astype(jnp.int32)]  # (B, V)
-    ok = ok & allowed_ins[None, :]
+    ok = ok & (allowed_ins if allowed_ins.ndim == 2 else allowed_ins[None, :])
     logits = jnp.where(ok, logits, FILTER_VALUE)
     return logits, last_xxsep
 

@@ -52,6 +52,44 @@ def sample_categorical(rng: jax.Array, logits: jnp.ndarray) -> jnp.ndarray:
     return jax.random.categorical(rng, logits, axis=-1)
 
 
+def _filter_sorted(logits: jnp.ndarray, top_k, top_p):
+    """Shared single-sort filter core: returns (filtered sorted logits,
+    vocab-index payload, keep mask), all in descending-logit order.
+
+    ``top_k`` may be a static int or per-row ``(B,)`` int32 (0 disables);
+    ``top_p`` a scalar or per-row ``(B,)``/``(B, 1)`` thresholds (broadcast
+    against the (B, V) cumulative-probability matrix)."""
+    V = logits.shape[-1]
+    iota = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), logits.shape)
+    # stable ascending sort of -logits == descending logits, argmax-compatible
+    # tie order (lowest vocab id first)
+    neg_sorted, order = jax.lax.sort((-logits, iota), dimension=-1, num_keys=1)
+    slog = -neg_sorted
+    keep = slog > FILTER_VALUE / 2          # grammar-banned rows stay dead
+    if isinstance(top_k, (int,)):
+        if top_k > 0 and top_k < V:
+            kth = slog[..., top_k - 1:top_k]
+            keep = keep & (slog >= kth)     # ties at the threshold survive
+    else:                                    # per-row (B,) int32
+        k = jnp.asarray(top_k, jnp.int32)
+        kth = jnp.take_along_axis(
+            slog, jnp.clip(k - 1, 0, V - 1)[:, None], axis=-1)  # (B, 1)
+        active = ((k > 0) & (k < V))[:, None]
+        keep = keep & jnp.where(active, slog >= kth, True)
+    # nucleus mass is measured on the top-k-FILTERED distribution, exactly as
+    # the reference chains the two filters (deep_music_genre.py:1696-1700)
+    filt = jnp.where(keep, slog, FILTER_VALUE)
+    top_p = jnp.asarray(top_p)
+    if top_p.ndim == 1:
+        top_p = top_p[:, None]
+    cum = jnp.cumsum(jax.nn.softmax(filt, axis=-1), axis=-1)
+    remove = jnp.concatenate(
+        [jnp.zeros_like(keep[..., :1]), cum[..., :-1] > top_p], axis=-1)
+    keep = keep & ~jnp.where(top_p > 0.0, remove, jnp.zeros_like(remove))
+    filt = jnp.where(keep, slog, FILTER_VALUE)
+    return filt, order, keep
+
+
 def filter_sample_sorted(rng: jax.Array, logits: jnp.ndarray, top_k: int,
                          top_p, greedy: bool = False):
     """Fused top-k + top-p + categorical sample in ONE sort.
@@ -70,29 +108,38 @@ def filter_sample_sorted(rng: jax.Array, logits: jnp.ndarray, top_k: int,
 
     Returns ``(idx (B,) int32, n_kept (B,) int32)``.
     """
-    V = logits.shape[-1]
-    iota = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), logits.shape)
-    # stable ascending sort of -logits == descending logits, argmax-compatible
-    # tie order (lowest vocab id first)
-    neg_sorted, order = jax.lax.sort((-logits, iota), dimension=-1, num_keys=1)
-    slog = -neg_sorted
-    keep = slog > FILTER_VALUE / 2          # grammar-banned rows stay dead
-    if top_k > 0 and top_k < V:
-        kth = slog[..., top_k - 1:top_k]
-        keep = keep & (slog >= kth)         # ties at the threshold survive
-    # nucleus mass is measured on the top-k-FILTERED distribution, exactly as
-    # the reference chains the two filters (deep_music_genre.py:1696-1700)
-    filt = jnp.where(keep, slog, FILTER_VALUE)
-    top_p = jnp.asarray(top_p)
-    cum = jnp.cumsum(jax.nn.softmax(filt, axis=-1), axis=-1)
-    remove = jnp.concatenate(
-        [jnp.zeros_like(keep[..., :1]), cum[..., :-1] > top_p], axis=-1)
-    keep = keep & ~jnp.where(top_p > 0.0, remove, jnp.zeros_like(remove))
-    filt = jnp.where(keep, slog, FILTER_VALUE)
+    filt, order, keep = _filter_sorted(logits, top_k, top_p)
     if greedy:
         spos = jnp.zeros(logits.shape[:-1], jnp.int32)  # sorted pos 0 == argmax
     else:
         spos = jax.random.categorical(rng, filt, axis=-1).astype(jnp.int32)
+    idx = jnp.take_along_axis(order, spos[..., None], axis=-1)[..., 0]
+    return idx, keep.sum(axis=-1)
+
+
+def filter_sample_sorted_rows(keys: jax.Array, logits: jnp.ndarray,
+                              top_k, top_p: jnp.ndarray,
+                              greedy: jnp.ndarray):
+    """:func:`filter_sample_sorted` with PER-ROW randomness and parameters,
+    for the continuous-batching engine where each resident slot carries its
+    own request: ``keys`` is ``(B, 2)`` (one PRNG key per row, so a request's
+    draw stream is a function of its own seed and step count only —
+    reproducible regardless of which other requests share the batch),
+    ``top_k`` is ``(B,)`` int32 (0 disables), ``top_p`` is ``(B,)`` and
+    ``greedy`` a ``(B,)`` bool (greedy rows take sorted position 0 == the
+    filtered argmax, matching ``greedy=True``).
+
+    Returns ``(idx (B,) int32, n_kept (B,) int32)``.
+    """
+    filt, order, keep = _filter_sorted(logits, top_k, top_p)
+    # per-row Gumbel-max draw: one vectorized uniform per row (vmap lowers to
+    # a single batched threefry — no per-row kernel chain)
+    V = logits.shape[-1]
+    u = jax.vmap(lambda k: jax.random.uniform(
+        k, (V,), minval=jnp.finfo(jnp.float32).tiny, maxval=1.0))(keys)
+    gumbel = -jnp.log(-jnp.log(u))
+    sampled = jnp.argmax(filt + gumbel, axis=-1).astype(jnp.int32)
+    spos = jnp.where(greedy, 0, sampled)
     idx = jnp.take_along_axis(order, spos[..., None], axis=-1)[..., 0]
     return idx, keep.sum(axis=-1)
 

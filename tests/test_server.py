@@ -72,6 +72,41 @@ def test_remix_endpoint(http_server):
     assert base64.b64decode(out["midi_b64"])[:4] == b"MThd"
 
 
+def test_generate_endpoint_continuous(vocab):
+    """/generate backed by the continuous-batching engine: two concurrent
+    requests with different sampling settings ride one resident batch."""
+    server = MusicServer(
+        genre_learner=MusicLearner(small_test_config(), vocab),
+        max_batch=4, continuous=True)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        payloads = [
+            {"midi_b64": _midi_b64(), "genre": "jazz", "n_words": 16,
+             "cutoff_beat": 8, "seed": 1},
+            {"midi_b64": _midi_b64(), "n_words": 24, "cutoff_beat": 8,
+             "top_k": 10, "temperatures": (2.0, 2.0), "seed": 2},
+        ]
+        outs = [None, None]
+
+        def go(i):
+            outs[i] = _post(url, "/generate", payloads[i])
+
+        threads = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(600)
+        for out in outs:
+            assert out is not None and out["n_tokens"] > 0
+            assert base64.b64decode(out["midi_b64"])[:4] == b"MThd"
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
 def test_bad_request(http_server):
     req = urllib.request.Request(http_server + "/generate", data=b"{}",
                                  headers={"Content-Type": "application/json"})
