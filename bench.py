@@ -320,6 +320,51 @@ def run_speculative_bench():
          spec_vs_seq=round(spec_tps / seq_tps, 2))
 
 
+def run_serving_bench(cfg, vocab, seed):
+    """Continuous-batching serving throughput: 16 mixed requests (two
+    settings groups, budgets 128/256) through the resident-batch engine.
+    The static coalescing comparison lives in examples/bench_serving.py;
+    this banks the continuous engine's number for the driver."""
+    import jax
+    from deepmusicgeneration_tpu.decode.continuous import (
+        ContinuousEngine, ContinuousGenerationService)
+    from deepmusicgeneration_tpu.models import txl
+
+    params = txl.init_txl(jax.random.PRNGKey(0), cfg)
+    eng = ContinuousEngine(params, cfg, vocab, n_slots=8, chunk=32)
+    svc = ContinuousGenerationService(engine=eng)
+    try:
+        def replay():
+            futs = []
+            for i in range(16):
+                grp = i % 2
+                futs.append((svc.submit(
+                    seed, n_words=(128, 256)[i % 2],
+                    temperatures=[(1.8, 1.8, 1.0), (1.2, 1.2, 1.0)][grp],
+                    top_k=(30, 20)[grp], top_p=(0.65, 0.9)[grp],
+                    min_bars=1_000_000, seed=i), time.time()))
+            lat, toks = [], 0
+            for f, t0 in futs:
+                out = f.result(timeout=max(budget_left(), 60))
+                lat.append(time.time() - t0)
+                toks += len(out)
+            return toks, max(lat), sorted(lat)[len(lat) // 2]
+
+        t0 = time.time()
+        replay()                                   # compile (cached) + warm
+        log(f"serving warmup: {time.time()-t0:.1f}s")
+        t0 = time.time()
+        toks, _, p50 = replay()
+        dt = time.time() - t0
+        log(f"serving (continuous, {eng.kernel}): 16 mixed requests, "
+            f"{toks} tokens in {dt:.2f}s → {toks/dt:.0f} tok/s, p50 {p50:.2f}s")
+        bank("serving", serving_tokens_per_sec=round(toks / dt, 1),
+             serving_p50_latency_s=round(p50, 2),
+             serving_kernel=eng.kernel)
+    finally:
+        svc.close()
+
+
 def run_multitask_bench():
     """BERT mask infill and s2s harmonization throughput (85M multitask)."""
     import jax
@@ -618,6 +663,16 @@ def main():
                 run_multitask_bench()
             except Exception as e:
                 log("multitask bench failed:", e)
+        if budget_left() > 150:
+            try:
+                run_serving_bench(cfg, vocab, seed)
+            except Exception as e:
+                log("serving bench failed:", e)
+        if budget_left() > 150:
+            try:
+                run_speculative_bench()
+            except Exception as e:
+                log("speculative bench failed:", e)
         if budget_left() > 90:
             try:
                 run_train_bench()

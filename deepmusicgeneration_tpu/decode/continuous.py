@@ -28,10 +28,18 @@ request's output is reproducible from its seed alone, independent of which
 other requests happened to share the batch (tested: a row that joins a busy
 batch mid-flight emits bit-identically to the same request decoded alone).
 
-The compute path is the exact bf16 XLA ring step (`txl.decode_step_ring`) —
-resident state must survive across calls, which the in-kernel slab caches of
-the fused Pallas path also support, but exactness makes the parity contract
-testable; the fused path remains the throughput choice for offline batches.
+Two compute paths share the sampling/scheduling machinery:
+
+* ``decode_kernel='xla'`` — the exact bf16 ring step
+  (`txl.decode_step_ring`); bit-exactness makes the parity contract
+  directly testable against the static engine.
+* ``decode_kernel='slab'`` / ``'slab_w8'`` (auto-picked on TPU) — the fused
+  Pallas decoder-stack kernel (`ops/fused_decode.py::fused_slab_core`): the
+  resident cache IS the kernel's slot-major int8 layout, whole stack in one
+  kernel per step with in-kernel slab writes — the B=64 offline-throughput
+  kernel now serving a rolling batch. Per-slot quantization is
+  position-independent, so the mid-flight graft stays exact *within* the
+  slab path (tested bit-identical solo vs staggered).
 """
 
 from __future__ import annotations
@@ -66,9 +74,22 @@ class RowParams(NamedTuple):
     keys: jnp.ndarray         # (B, 2) uint32 — per-row PRNG key
 
 
+class SlabKV(NamedTuple):
+    """Slot-major int8 resident cache for the fused Pallas slab path —
+    the same layout `generate_compiled`'s slab branch carries through its
+    scan (engine.py), here surviving across chunk calls."""
+    kq: jnp.ndarray           # (L, B, M, HD) int8
+    ksc: jnp.ndarray          # (L, B, M, 1) fp32 per-slot scales
+    vq: jnp.ndarray           # (L, B, M, HD) int8
+    vsc: jnp.ndarray          # (L, B, M, 1) fp32
+    g: jnp.ndarray            # (B, M) int32 global index per slot
+    ptr: jnp.ndarray          # () int32
+    g_cur: jnp.ndarray        # () int32
+
+
 class BatchState(NamedTuple):
     """The resident decode state: everything carried across chunk calls."""
-    cache: txl.RingKVCache    # shared ptr/g_cur clock, per-row g
+    cache: object             # RingKVCache (xla path) | SlabKV (slab path)
     st: SampleState
     logits: jnp.ndarray       # (B, V) fp32 — next-token logits per row
     steps: jnp.ndarray        # (B,) int32 — sampling steps taken this request
@@ -76,7 +97,7 @@ class BatchState(NamedTuple):
 
 
 def init_state(cfg: TXLConfig, n_slots: int, mem_len: int,
-               vocab_size: int) -> BatchState:
+               vocab_size: int, kernel: str = "xla") -> BatchState:
     """All-free resident state: every row done, zeroed caches."""
     L, H, Dh = cfg.n_layers, cfg.n_heads, cfg.d_head
     dt = cfg.act_dtype
@@ -88,12 +109,23 @@ def init_state(cfg: TXLConfig, n_slots: int, mem_len: int,
     def zeros(shape=(B,), dtype=jnp.int32):
         return jnp.zeros(shape, dtype)
 
-    cache = txl.RingKVCache(
-        k=jnp.zeros((L, B, H, M, Dh), dt),
-        v=jnp.zeros((L, B, H, M, Dh), dt),
-        g=jnp.full((B, M), txl.PAD_G, jnp.int32),
-        ptr=jnp.zeros((), jnp.int32),
-        g_cur=jnp.zeros((), jnp.int32))
+    if kernel == "xla":
+        cache = txl.RingKVCache(
+            k=jnp.zeros((L, B, H, M, Dh), dt),
+            v=jnp.zeros((L, B, H, M, Dh), dt),
+            g=jnp.full((B, M), txl.PAD_G, jnp.int32),
+            ptr=jnp.zeros((), jnp.int32),
+            g_cur=jnp.zeros((), jnp.int32))
+    else:
+        HD = H * Dh
+        cache = SlabKV(
+            kq=zeros((L, B, M, HD), jnp.int8),
+            ksc=jnp.full((L, B, M, 1), 1e-6 / 127.0, jnp.float32),
+            vq=zeros((L, B, M, HD), jnp.int8),
+            vsc=jnp.full((L, B, M, 1), 1e-6 / 127.0, jnp.float32),
+            g=jnp.full((B, M), txl.PAD_G, jnp.int32),
+            ptr=jnp.zeros((), jnp.int32),
+            g_cur=jnp.zeros((), jnp.int32))
     st = SampleState(
         prev_tok=zeros(), last_pos=zeros(), start_pos=zeros(),
         last_xxsep=zeros(dtype=bool),
@@ -112,7 +144,7 @@ def init_state(cfg: TXLConfig, n_slots: int, mem_len: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "window", "mem_len"),
+                   static_argnames=("cfg", "window", "mem_len", "kernel"),
                    donate_argnames=("state",))
 def insert_compiled(
     params: Dict,
@@ -133,6 +165,7 @@ def insert_compiled(
     key: jax.Array,              # (2,) uint32 raw PRNG key for this row
     window: int,
     mem_len: int,
+    kernel: str = "xla",
 ) -> BatchState:
     """Prefill one prompt and graft it into resident row ``row``.
 
@@ -143,21 +176,44 @@ def insert_compiled(
     overwrites) and its slot indices are rebased by ``+t`` (attention reads
     distances ``g_cur - g``, so the last prompt token sits at distance 1 from
     the first decoded token, exactly as in a solo decode).
+
+    ``kernel='slab'``: the resident cache is the fused Pallas path's
+    slot-major int8 layout — the rolled bf16 panels are quantized per-slot
+    (position-independent, so the graft stays exact w.r.t. a solo slab
+    decode) and scattered into the int8/scale slabs.
     """
     logits1, cache0 = txl.prefill(params, cfg, window_toks, window_pad,
                                   pos=window_pos, mem_len=mem_len,
                                   flash=False)
     ring1 = txl.ring_from_prefill(cache0, cfg)     # B=1, ptr=0, g_cur=0
     p, t = state.cache.ptr, state.cache.g_cur
-    k1 = jnp.roll(ring1.k, p, axis=3)              # (L, 1, H, M, Dh)
-    v1 = jnp.roll(ring1.v, p, axis=3)
     g1 = jnp.where(ring1.g == txl.PAD_G, txl.PAD_G, ring1.g + t)
     g1 = jnp.roll(g1, p, axis=1).astype(jnp.int32)  # (1, M)
 
-    cache = state.cache._replace(
-        k=jax.lax.dynamic_update_slice(state.cache.k, k1, (0, row, 0, 0, 0)),
-        v=jax.lax.dynamic_update_slice(state.cache.v, v1, (0, row, 0, 0, 0)),
-        g=jax.lax.dynamic_update_slice(state.cache.g, g1, (row, 0)))
+    if kernel == "xla":
+        k1 = jnp.roll(ring1.k, p, axis=3)          # (L, 1, H, M, Dh)
+        v1 = jnp.roll(ring1.v, p, axis=3)
+        cache = state.cache._replace(
+            k=jax.lax.dynamic_update_slice(state.cache.k, k1,
+                                           (0, row, 0, 0, 0)),
+            v=jax.lax.dynamic_update_slice(state.cache.v, v1,
+                                           (0, row, 0, 0, 0)),
+            g=jax.lax.dynamic_update_slice(state.cache.g, g1, (row, 0)))
+    else:
+        from ..ops.fused_decode import quantize_kv_slot_major
+        L, H, Dh, M = cfg.n_layers, cfg.n_heads, cfg.d_head, mem_len
+        kt_s = ring1.k.transpose(0, 1, 3, 2, 4).reshape(L, 1, M, H * Dh)
+        vc_s = ring1.v.transpose(0, 1, 3, 2, 4).reshape(L, 1, M, H * Dh)
+        kt_s = jnp.roll(kt_s, p, axis=2)
+        vc_s = jnp.roll(vc_s, p, axis=2)
+        kq1, ks1, vq1, vs1 = quantize_kv_slot_major(kt_s, vc_s)
+        dus = jax.lax.dynamic_update_slice
+        cache = state.cache._replace(
+            kq=dus(state.cache.kq, kq1, (0, row, 0, 0)),
+            ksc=dus(state.cache.ksc, ks1, (0, row, 0, 0)),
+            vq=dus(state.cache.vq, vq1, (0, row, 0, 0)),
+            vsc=dus(state.cache.vsc, vs1, (0, row, 0, 0)),
+            g=dus(state.cache.g, g1, (row, 0)))
 
     lp = last_pos.astype(jnp.int32)
     st = SampleState(
@@ -207,24 +263,86 @@ def decode_chunk_compiled(
 
     def step(carry, _):
         cache, st, logits, steps = carry
-        # per-row draw stream: fold the row's own key with its own step
-        # counter — reproducible regardless of batch composition (one
-        # batched threefry under vmap, not a per-row kernel chain)
-        stepkeys = jax.vmap(jax.random.fold_in)(rows.keys, steps)
-        step_frac = steps.astype(jnp.float32) \
-            / jnp.maximum(rows.budget, 1).astype(jnp.float32)
-        lg, last_xxsep = prepare_logits(logits, st, tables, rows.temps,
-                                        rows.min_bars, rows.allowed_ins,
-                                        settings)
-        idx, nc = filter_sample_sorted_rows(
-            stepkeys, lg, rows.top_k, rows.top_p, rows.greedy)
-        idx, st = advance_state(idx.astype(jnp.int32), nc, st, last_xxsep,
-                                tables, settings, step_frac)
-        # per-row budget: a row takes exactly `budget` sampling steps unless
-        # it stopped earlier (same count as generate_batch's n_words scan)
-        st = st._replace(done=st.done | (steps + 1 >= rows.budget))
+        idx, st = _sample_rows(logits, st, steps, rows, tables, settings)
         logits, cache = txl.decode_step_ring(params, cfg, idx, st.last_pos,
                                              cache, wkr_all)
+        return (cache, st, logits, steps + 1), idx
+
+    (cache, st, logits, steps), toks = jax.lax.scan(
+        step, (state.cache, state.st, state.logits, state.steps),
+        None, length=chunk)
+    return BatchState(cache=cache, st=st, logits=logits, steps=steps,
+                      rows=rows), toks.T
+
+
+def _sample_rows(logits, st, steps, rows: RowParams, tables: DecodeTables,
+                 settings: SamplerSettings):
+    """One per-row sampling step (shared by the xla and slab chunk loops):
+    per-row draw stream — the row's own key folded with its own step counter,
+    reproducible regardless of batch composition (one batched threefry under
+    vmap, not a per-row kernel chain) — then per-row budget stop: a row takes
+    exactly ``budget`` sampling steps unless it stopped earlier (same count
+    as generate_batch's n_words scan)."""
+    stepkeys = jax.vmap(jax.random.fold_in)(rows.keys, steps)
+    step_frac = steps.astype(jnp.float32) \
+        / jnp.maximum(rows.budget, 1).astype(jnp.float32)
+    lg, last_xxsep = prepare_logits(logits, st, tables, rows.temps,
+                                    rows.min_bars, rows.allowed_ins, settings)
+    idx, nc = filter_sample_sorted_rows(
+        stepkeys, lg, rows.top_k, rows.top_p, rows.greedy)
+    idx, st = advance_state(idx.astype(jnp.int32), nc, st, last_xxsep,
+                            tables, settings, step_frac)
+    return idx, st._replace(done=st.done | (steps + 1 >= rows.budget))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "settings", "chunk", "mem_len",
+                                    "interpret"),
+                   donate_argnames=("state",))
+def decode_chunk_slab(
+    stacked,                     # StackedTXL (int8 panels when weights_int8)
+    w_scales,                    # (L, 8, SMAX) f32 | None
+    embed32: jnp.ndarray,        # (V, D) fp32
+    head_b,                      # (V,) f32 | None
+    cfg: TXLConfig,
+    state: BatchState,           # cache: SlabKV
+    tables: DecodeTables,
+    wkr_mt: jnp.ndarray,         # (L, M+1, HD) — slab kernel layout
+    settings: SamplerSettings,
+    chunk: int,
+    mem_len: int,
+    interpret: bool = False,
+) -> Tuple[BatchState, jnp.ndarray]:
+    """:func:`decode_chunk_compiled` on the fused Pallas slab path: the whole
+    decoder stack runs as one kernel per step over the resident slot-major
+    int8 caches (in-kernel 32-slot slab writes) — the B=64 throughput kernel
+    (engine.py's slab branch), here with resident state and per-row
+    sampling."""
+    from ..ops.fused_decode import fused_slab_core
+    rows = state.rows
+    B = state.logits.shape[0]
+
+    def step(carry, _):
+        cache, st, logits, steps = carry
+        idx, st = _sample_rows(logits, st, steps, rows, tables, settings)
+        dist = cache.g_cur - cache.g
+        blocked = ((dist < 1) | (dist > mem_len)).astype(jnp.int32)
+        h_out, kq, ksc, vq, vsc = fused_slab_core(
+            stacked, cfg, embed32[idx], wkr_mt,
+            cache.kq, cache.ksc, cache.vq, cache.vsc,
+            blocked, cache.ptr, mem_len,
+            rows_per_cell=settings.rows_per_cell,
+            score_mode=settings.score_mode,
+            weights_int8=settings.weights_int8, w_scales=w_scales,
+            interpret=interpret)
+        logits = h_out @ embed32.T
+        if head_b is not None:
+            logits = logits + head_b
+        g = jax.lax.dynamic_update_slice(
+            cache.g, jnp.broadcast_to(cache.g_cur, (B, 1)).astype(jnp.int32),
+            (0, cache.ptr))
+        cache = SlabKV(kq=kq, ksc=ksc, vq=vq, vsc=vsc, g=g,
+                       ptr=(cache.ptr + 1) % mem_len, g_cur=cache.g_cur + 1)
         return (cache, st, logits, steps + 1), idx
 
     (cache, st, logits, steps), toks = jax.lax.scan(
@@ -251,7 +369,15 @@ class ContinuousEngine:
                  n_slots: int = 8, mem_len: Optional[int] = None,
                  chunk: int = 32, temp_mode: str = "genre",
                  cast_bf16: Optional[bool] = None,
-                 strict_grammar: bool = True):
+                 strict_grammar: bool = True,
+                 decode_kernel: Optional[str] = None,
+                 interpret: bool = False):
+        """``decode_kernel``: 'xla' (exact bf16 ring step), 'slab' (fused
+        Pallas stack — slot-major int8 resident KV, ~1e-2 logit deltas,
+        eval-validated) or 'slab_w8' (slab + int8 weights). ``None`` = auto:
+        'slab' when the fused path applies (TPU, bf16 bias-free config,
+        mem_len % 32 == 0), else 'xla'. ``interpret``: run the Pallas kernel
+        in interpreter mode (CPU tests)."""
         if cast_bf16 is None:
             cast_bf16 = cfg.dtype == "bfloat16"
         if cast_bf16:
@@ -263,10 +389,41 @@ class ContinuousEngine:
         self.n_slots = n_slots
         self.mem_len = mem_len or cfg.mem_len
         self.chunk = chunk
+        self.interpret = interpret
+        fused_ok = ((jax.default_backend() == "tpu" or interpret)
+                    and cfg.dtype == "bfloat16" and not cfg.bias
+                    and not cfg.encode_position and self.mem_len % 32 == 0)
+        if decode_kernel is None:
+            decode_kernel = "slab" if fused_ok else "xla"
+        if decode_kernel != "xla" and not fused_ok:
+            raise ValueError(f"decode_kernel={decode_kernel!r} needs the "
+                             "fused slab path (TPU/interpret, bf16 bias-free "
+                             "config, mem_len % 32 == 0)")
+        self.kernel = decode_kernel
         self.tables = build_tables(vocab, temp_mode, strict=strict_grammar)
-        self.settings = SamplerSettings(temp_mode=temp_mode)
-        self.wkr = txl.precompute_wkr(params, cfg, self.mem_len)
-        self.state = init_state(cfg, n_slots, self.mem_len, len(vocab.itos))
+        rpc = next(r for r in (8, 4, 2, 1) if n_slots % r == 0)
+        self.settings = SamplerSettings(
+            temp_mode=temp_mode,
+            slab=decode_kernel != "xla", rows_per_cell=rpc,
+            weights_int8=decode_kernel == "slab_w8")
+        if decode_kernel == "xla":
+            self.wkr = txl.precompute_wkr(params, cfg, self.mem_len)
+        else:
+            from ..ops.fused_decode import (stack_txl_layers,
+                                            quantize_stacked_weights)
+            stacked = stack_txl_layers(params)
+            self._w_scales = None
+            if decode_kernel == "slab_w8":
+                stacked, self._w_scales = quantize_stacked_weights(stacked)
+            self._stacked = stacked
+            self._embed32 = params["embed"].astype(jnp.float32)
+            self._head_b = params.get("head_b")
+            self.wkr = txl.precompute_wkr(params, cfg, self.mem_len) \
+                .transpose(0, 2, 1, 3).reshape(cfg.n_layers,
+                                               self.mem_len + 1, -1)
+        self.state = init_state(cfg, n_slots, self.mem_len, len(vocab.itos),
+                                kernel="xla" if decode_kernel == "xla"
+                                else "slab")
         self.slots: list = [None] * n_slots   # Optional[_Slot]
 
     # -- admission -----------------------------------------------------------
@@ -308,7 +465,8 @@ class ContinuousEngine:
             jnp.asarray(bool(greedy)),
             jnp.asarray(allowed_ins_mask(self.vocab, allowed_ins)),
             jax.random.PRNGKey(seed),
-            window=W, mem_len=self.mem_len)
+            window=W, mem_len=self.mem_len,
+            kernel="xla" if self.kernel == "xla" else "slab")
         self.slots[slot] = _Slot(future or Future(), int(n_words), [])
 
     # -- stepping ------------------------------------------------------------
@@ -321,9 +479,15 @@ class ContinuousEngine:
         A slot completes when its row is ``done`` (budget exhausted, sampled
         BOS, or bar-boundary stop). Its future resolves to the emitted token
         array (pads trimmed via the device-tracked ``n_emitted``)."""
-        self.state, toks = decode_chunk_compiled(
-            self.params, self.cfg, self.state, self.tables, self.wkr,
-            self.settings, self.chunk)
+        if self.kernel == "xla":
+            self.state, toks = decode_chunk_compiled(
+                self.params, self.cfg, self.state, self.tables, self.wkr,
+                self.settings, self.chunk)
+        else:
+            self.state, toks = decode_chunk_slab(
+                self._stacked, self._w_scales, self._embed32, self._head_b,
+                self.cfg, self.state, self.tables, self.wkr, self.settings,
+                self.chunk, self.mem_len, interpret=self.interpret)
         toks = np.asarray(toks)
         done = np.asarray(self.state.st.done)
         n_emitted = np.asarray(self.state.st.n_emitted)

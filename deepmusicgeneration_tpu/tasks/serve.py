@@ -126,6 +126,19 @@ class GenerationService:
             batch.append(nxt)
         return batch
 
+    @staticmethod
+    def _bucket_batch(seeds):
+        """Pad the seed list up to the next power-of-two size (by repeating
+        the first seed): the compiled executable's batch dim is a shape, so
+        without bucketing every distinct coalesced size jit-compiles its own
+        program — a compile per arrival pattern. Padded rows are decoded and
+        dropped (same trade as generate_batch's dp padding)."""
+        n = len(seeds)
+        size = 1
+        while size < n:
+            size *= 2
+        return seeds + [seeds[0]] * (size - n)
+
     def _loop(self):
         while True:
             batch = self._collect()
@@ -134,7 +147,7 @@ class GenerationService:
             k = batch[0].key
             try:
                 toks, lengths = self.engine.generate_batch(
-                    [r.seed for r in batch],
+                    self._bucket_batch([r.seed for r in batch]),
                     n_words=k.n_words, temperatures=k.temperatures,
                     min_bars=k.min_bars, top_k=k.top_k, top_p=k.top_p,
                     greedy=k.greedy, seed=batch[0].seed_rng)

@@ -160,6 +160,62 @@ def test_slot_freed_and_reused(setup, vocab, prompts):
     assert len(f1.result()) > 0
 
 
+@pytest.fixture(scope="module")
+def slab_setup():
+    from deepmusicgeneration_tpu.models.config import TXLConfig
+    cfg = TXLConfig(vocab_size=324, n_layers=2, d_model=128, d_inner=256,
+                    n_heads=2, d_head=64, ctx_len=128, mem_len=128,
+                    dtype="bfloat16", bias=False)
+    params = txl.init_txl(jax.random.PRNGKey(0), cfg)
+    return params, cfg
+
+
+def slab_fresh(slab_setup, vocab, **kw):
+    params, cfg = slab_setup
+    kw.setdefault("n_slots", 4)
+    kw.setdefault("chunk", 4)
+    return ContinuousEngine(params, cfg, vocab, decode_kernel="slab",
+                            interpret=True, **kw)
+
+
+def test_slab_midflight_join_bit_identical(slab_setup, vocab, prompts):
+    """The slot-major int8 graft: per-slot quantization is
+    position-independent, so a row joining a busy slab batch decodes exactly
+    as it does alone ON THE SAME KERNEL (greedy, interpret mode)."""
+    solo_a = slab_fresh(slab_setup, vocab).generate(
+        prompts[0], n_words=12, greedy=True)
+    solo_b = slab_fresh(slab_setup, vocab).generate(
+        prompts[1], n_words=8, greedy=True)
+
+    eng = slab_fresh(slab_setup, vocab)
+    fa, fb = Future(), Future()
+    eng.insert(0, prompts[0], n_words=12, greedy=True, future=fa)
+    eng.step_chunk()                      # clock at g_cur=4, ptr=4
+    eng.insert(2, prompts[1], n_words=8, greedy=True, future=fb)
+    while not (fa.done() and fb.done()):
+        eng.step_chunk()
+    np.testing.assert_array_equal(solo_a, fa.result())
+    np.testing.assert_array_equal(solo_b, fb.result())
+    check_grammar(fa.result(), vocab, prev0=int(prompts[0][-1]))
+
+
+def test_slab_close_to_xla_path(slab_setup, vocab, prompts):
+    """int8-KV slab logits sit within sampling-noise of the exact path:
+    same grammar validity; greedy streams agree on a short horizon."""
+    params, cfg = slab_setup
+    xla = ContinuousEngine(params, cfg, vocab, decode_kernel="xla",
+                           n_slots=4, chunk=4)
+    a = xla.generate(prompts[0], n_words=8, greedy=True)
+    b = slab_fresh(slab_setup, vocab).generate(prompts[0], n_words=8,
+                                               greedy=True)
+    assert len(b) > 0
+    check_grammar(b, vocab, prev0=int(prompts[0][-1]))
+    # greedy argmax chains usually agree at ~1e-2 logit deltas over a short
+    # horizon; require agreement on the first few tokens
+    n = min(len(a), len(b), 4)
+    np.testing.assert_array_equal(a[:n], b[:n])
+
+
 def test_service_streams_mixed_requests(setup, vocab, prompts):
     """Futures front-end: more requests than slots, mixed settings, all
     complete; early stops free lanes for queued work."""
