@@ -22,24 +22,34 @@ _DEFAULT = os.path.expanduser("~/.cache/dmg_tpu_xla")
 
 
 def _host_fingerprint() -> str:
-    # Hash BOTH the model name and the flags line: XLA:CPU derives extra
-    # target features from the CPU model (e.g. +prefer-no-gather), so two
-    # hosts with identical cpuinfo flags but different models still produce
-    # incompatible AOT code (observed: "machine type ... doesn't match"
-    # loading a same-flags entry, with a SIGILL warning).
+    # Hash the full identity block of CPU 0: XLA:CPU derives target features
+    # from LLVM's host detection (e.g. +prefer-no-gather), which keys off
+    # cpuid family/model/stepping — NOT the cpuinfo "flags" line.  Hashing
+    # only model name + flags proved insufficient: after a host migration,
+    # same-named CPUs produced incompatible AOT code (the loader proceeded
+    # with "machine type ... doesn't match" and a later 8-device collective
+    # aborted on a stuck rendezvous).  Family/model/stepping/microcode
+    # discriminate those hosts; jaxlib version guards ABI changes.
+    keys = ("vendor_id", "cpu family", "model\t", "model name", "stepping",
+            "microcode", "flags")
     parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("model name", "flags")):
+                if not line.strip():
+                    break                      # end of CPU 0's block
+                if line.startswith(keys):
                     parts.append(line)
-                    if len(parts) == 2:
-                        break
     except OSError:
         pass
     if not parts:
         import platform
         parts = [platform.processor()]
+    try:
+        import jaxlib
+        parts.append(jaxlib.__version__)
+    except Exception:
+        pass
     return hashlib.sha1("".join(parts).encode()).hexdigest()[:10]
 
 
