@@ -163,9 +163,12 @@ def main(argv=None):
     sv.add_argument("--port", type=int, default=8711)
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--max-batch", type=int, default=16)
+    sv.add_argument("--continuous", action="store_true",
+                    help="serve /generate from the continuous-batching "
+                         "engine (resident device batch, mid-flight joins)")
     sv.set_defaults(fn=lambda a: __import__(
         "deepmusicgeneration_tpu.app.server", fromlist=["serve"]
-    ).serve(a.port, a.host, a.max_batch))
+    ).serve(a.port, a.host, a.max_batch, continuous=a.continuous))
 
     tr = sub.add_parser("train", help="train the genre LM")
     tr.add_argument("--data", required=True, help="dir of cached .npy npencs")
