@@ -673,11 +673,6 @@ def main():
                 log("train bench failed:", e)
         if budget_left() > 150:
             try:
-                run_multitask_train_bench()
-            except Exception as e:
-                log("multitask train bench failed:", e)
-        if budget_left() > 150:
-            try:
                 run_serving_bench(cfg, vocab, seed)
             except Exception as e:
                 log("serving bench failed:", e)
@@ -686,6 +681,14 @@ def main():
                 run_speculative_bench()
             except Exception as e:
                 log("speculative bench failed:", e)
+        # LAST: the 85M s2s train step's XLA+remat compile is the biggest
+        # cold-cache item in the whole bench (>10 min on a 1-vCPU host);
+        # anything after it would be hostage to that compile finishing.
+        if budget_left() > 150:
+            try:
+                run_multitask_train_bench()
+            except Exception as e:
+                log("multitask train bench failed:", e)
         if base <= 0.0 and budget_left() > 120:
             base = cpu_baseline()
             if base > 0:

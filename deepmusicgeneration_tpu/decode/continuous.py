@@ -383,7 +383,8 @@ class ContinuousEngine:
         if cast_bf16:
             from ..models.precision import cast_params_for_inference
             params = cast_params_for_inference(params)
-        self.params = params
+        from ..models.precision import commit_params
+        self.params = commit_params(params)
         self.cfg = cfg
         self.vocab = vocab
         self.n_slots = n_slots

@@ -406,10 +406,8 @@ class GenerationEngine:
             from ..models.precision import cast_params_for_inference
             params = cast_params_for_inference(params)
         self.mesh = mesh
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            params = jax.device_put(params, NamedSharding(mesh, P()))
-        self.params = params
+        from ..models.precision import commit_params
+        self.params = commit_params(params, mesh)
         self.cfg = cfg
         self.vocab = vocab
         self.strict_grammar = strict_grammar

@@ -152,7 +152,8 @@ class MaskEngine:
         if cfg.dtype == "bfloat16":
             from ..models.precision import cast_params_for_inference
             params = cast_params_for_inference(params)
-        self.params, self.cfg, self.vocab = params, cfg, vocab
+        from ..models.precision import commit_params
+        self.params, self.cfg, self.vocab = commit_params(params), cfg, vocab
         self.tables = build_tables(vocab, "twotemp")
         # special tokens never produced by infill: bos, sep, ni, eos, genres
         banned = np.zeros(len(vocab), bool)
@@ -412,6 +413,8 @@ class S2SEngine:
         if cfg.dtype == "bfloat16":
             from ..models.precision import cast_params_for_inference
             params = cast_params_for_inference(params)
+        from ..models.precision import commit_params
+        params = commit_params(params)
         self.params, self.cfg, self.vocab = params, cfg, vocab
         self.tables = build_tables(vocab, "twotemp")
         self.kernel = _pick_dec_kernel(cfg, decode_kernel)
@@ -617,6 +620,8 @@ class NWEngine:
         if cfg.dtype == "bfloat16":
             from ..models.precision import cast_params_for_inference
             params = cast_params_for_inference(params)
+        from ..models.precision import commit_params
+        params = commit_params(params)
         self.params, self.cfg, self.vocab = params, cfg, vocab
         self.tables = build_tables(vocab, "twotemp")
         self.kernel = _pick_dec_kernel(cfg, decode_kernel)

@@ -32,3 +32,19 @@ def cast_params_for_inference(params, dtype=jnp.bfloat16):
 
     return jax.tree_util.tree_map_with_path(cast, params,
                                             is_leaf=lambda x: x is None)
+
+
+def commit_params(params, mesh=None):
+    """Commit inference params to device(s) ONCE.
+
+    Checkpoint loads (train/checkpoint.py msgpack) yield host numpy arrays;
+    a jitted call with uncommitted host operands re-uploads the full
+    parameter set every invocation — measured 3.2 s vs 0.26 s per 1024-token
+    generate for the 41M model through the axon tunnel (~82 MB bf16/call).
+    ``mesh``: replicate across it (dp serving); else the default device.
+    No-op for already-placed jax arrays.
+    """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(params, NamedSharding(mesh, P()))
+    return jax.device_put(params)
