@@ -106,6 +106,21 @@ def cmd_train(args):
     print(f"saved checkpoint → {args.ckpt}")
 
 
+def cmd_import_checkpoint(args):
+    from .train.checkpoint import save_checkpoint
+    from .train.torch_import import import_torch_checkpoint
+
+    import jax
+    import numpy as np
+
+    cfg, params, vocab, extra = import_torch_checkpoint(args.src, args.kind)
+    save_checkpoint(args.dest, params, cfg, vocab, extra=extra)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    print(f"imported {args.src} → {args.dest}: "
+          f"{type(cfg).__name__} {n:,} params, vocab {vocab.layout} "
+          f"({len(vocab.itos)} tokens)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="deepmusicgeneration_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -169,6 +184,17 @@ def main(argv=None):
     sv.set_defaults(fn=lambda a: __import__(
         "deepmusicgeneration_tpu.app.server", fromlist=["serve"]
     ).serve(a.port, a.host, a.max_batch, continuous=a.continuous))
+
+    ic = sub.add_parser(
+        "import-checkpoint",
+        help="convert a reference fastai .pth checkpoint to this framework's "
+             "msgpack format (app_utils.py:68-81 artifacts)")
+    ic.add_argument("src", help="path to the .pth file (e.g. "
+                                "lakh_genre_model.pth / mask_music_model.pth)")
+    ic.add_argument("dest", help="output checkpoint directory")
+    ic.add_argument("--kind", choices=["txl", "multitask"], default=None,
+                    help="model family (default: autodetect from keys)")
+    ic.set_defaults(fn=cmd_import_checkpoint)
 
     tr = sub.add_parser("train", help="train the genre LM")
     tr.add_argument("--data", required=True, help="dir of cached .npy npencs")

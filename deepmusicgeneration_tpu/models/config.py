@@ -80,7 +80,15 @@ def small_test_config(vocab_size: int = 324) -> TXLConfig:
 
 @dataclass(frozen=True)
 class MultitaskConfig:
-    """Encoder-decoder multitask model (app_utils.py:26-38,55-63)."""
+    """Encoder-decoder multitask model (app_utils.py:26-38,55-63).
+
+    ``act`` defaults to relu — a reference quirk: multitask_config() says
+    Activation.GeLU, but MTEncoderBlock builds its FFN as
+    ``feed_forward(d_model, d_inner, ff_p=ff_p, double_drop=double_drop)``
+    WITHOUT forwarding ``act`` (deep_music_remix.py:2060, s2s:2223), so every
+    model the reference actually trains uses fastai's default ReLU there.
+    Checkpoints embed their config, so older gelu-trained artifacts load
+    unchanged."""
 
     vocab_size: int = 324
     enc_layers: int = 10
@@ -91,7 +99,7 @@ class MultitaskConfig:
     d_head: int = 64
     ctx_len: int = 512
     mem_len: int = 512
-    act: str = "gelu"
+    act: str = "relu"
     bias: bool = True
     out_bias: bool = True
     scale: bool = True

@@ -26,6 +26,8 @@ OPT = "opt_state.msgpack"
 
 def save_checkpoint(path: str, params, config, vocab: MusicVocab,
                     opt_state=None, step: int = 0, extra: Optional[Dict] = None) -> str:
+    # None leaves (absent optional biases) serialize as msgpack nil and
+    # restore as None — tree_map skips them (None is an empty subtree).
     os.makedirs(path, exist_ok=True)
     params = jax.tree_util.tree_map(np.asarray, params)
     with open(os.path.join(path, PARAMS), "wb") as f:

@@ -1,0 +1,506 @@
+"""Tests for the reference ``.pth`` checkpoint importer (train/torch_import).
+
+Strategy: build *mirror* torch modules whose attribute names reproduce the
+reference's module trees exactly —
+``SequentialRNN(MusicTransformerXL, LinearDecoder)`` per fastai 1.0.61
+``text.models.transformer`` + ``/root/reference/deep_music_genre.py:1595-1665``,
+and ``MultiTransformer`` per ``/root/reference/deep_music_remix.py:1851-2104``
+— randomly initialize them, and run INDEPENDENT torch forwards that apply the
+``nn.Linear``/``nn.Embedding`` modules directly (fastai's conventions). The
+importer maps their ``state_dict()`` to JAX pytrees; parity of logits between
+the torch-module forward and this framework's forward validates every mapping
+decision (key names, Linear transposition, tied head, beat/bar embeddings,
+enum config handling). These mirrors are test assets written from the cited
+reference structure; they share no code with the reference.
+"""
+
+import math
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from oracle_txl import line_shift, sinusoid
+
+from deepmusicgeneration_tpu.models import multitask as mt
+from deepmusicgeneration_tpu.models import txl
+from deepmusicgeneration_tpu.models.config import MultitaskConfig, TXLConfig
+from deepmusicgeneration_tpu.train import torch_import as ti
+
+
+# ---------------------------------------------------------------------------
+# Mirror modules: fastai TransformerXL LM layout
+# ---------------------------------------------------------------------------
+
+class _PosEnc(nn.Module):
+    """fastai PositionalEncoding: only a non-parameter `freq` buffer."""
+
+    def __init__(self, d):
+        super().__init__()
+        self.register_buffer(
+            "freq", 1 / (10000 ** (torch.arange(0.0, d, 2.0) / d)))
+
+
+class _MHRA(nn.Module):
+    """fastai MultiHeadRelativeAttention param layout."""
+
+    def __init__(self, H, D, Dh, bias):
+        super().__init__()
+        self.attention = nn.Linear(D, 3 * H * Dh, bias=bias)
+        self.out = nn.Linear(H * Dh, D, bias=bias)
+        self.r_attn = nn.Linear(D, H * Dh, bias=bias)
+        self.ln = nn.LayerNorm(D)
+
+
+class _FF(nn.Module):
+    """fastai feed_forward(double_drop=True): SequentialEx with layers
+    [Linear, act, Dropout, Linear, Dropout, MergeLayer, LayerNorm]."""
+
+    def __init__(self, D, d_ff):
+        super().__init__()
+        self.layers = nn.ModuleList([
+            nn.Linear(D, d_ff), nn.GELU(), nn.Dropout(0.0),
+            nn.Linear(d_ff, D), nn.Dropout(0.0), nn.Identity(),
+            nn.LayerNorm(D)])
+
+
+class _DecoderLayer(nn.Module):
+    def __init__(self, H, D, Dh, d_ff, bias):
+        super().__init__()
+        self.mhra = _MHRA(H, D, Dh, bias)
+        self.ff = _FF(D, d_ff)
+
+
+class _BeatPositionEncoder(nn.Module):
+    """deep_music_genre.py:1651-1665."""
+
+    def __init__(self, D, beat_len=32, max_bar_len=1024):
+        super().__init__()
+        self.beat_len, self.max_bar_len = beat_len, max_bar_len
+        self.beat_enc = nn.Embedding(beat_len, D, padding_idx=0)
+        self.bar_enc = nn.Embedding(max_bar_len, D, padding_idx=0)
+
+    def forward(self, pos):
+        bar = torch.clamp(pos // self.beat_len % self.max_bar_len,
+                          max=self.max_bar_len - 1)
+        return self.beat_enc(pos % self.beat_len) + self.bar_enc(bar)
+
+
+class _TXLEncoder(nn.Module):
+    """MusicTransformerXL param surface (no XL memory in this mirror —
+    parity is tested on a fresh forward where memory is empty)."""
+
+    def __init__(self, cfg: TXLConfig):
+        super().__init__()
+        H, D, Dh = cfg.n_heads, cfg.d_model, cfg.d_head
+        self.encoder = nn.Embedding(cfg.vocab_size, D)
+        self.pos_enc = _PosEnc(D)
+        self.u = nn.Parameter(torch.randn(H, 1, Dh) * 0.05)
+        self.v = nn.Parameter(torch.randn(H, 1, Dh) * 0.05)
+        self.layers = nn.ModuleList([
+            _DecoderLayer(H, D, Dh, cfg.d_inner, cfg.bias)
+            for _ in range(cfg.n_layers)])
+        if cfg.encode_position:
+            self.beat_enc = _BeatPositionEncoder(D, cfg.beat_len,
+                                                 cfg.max_bar_len)
+
+
+class _LinearDecoder(nn.Module):
+    def __init__(self, D, V, tie: nn.Embedding, bias=True):
+        super().__init__()
+        self.decoder = nn.Linear(D, V, bias=bias)
+        self.decoder.weight = tie.weight
+
+
+def _txl_mirror(cfg: TXLConfig, seed: int = 0) -> nn.Sequential:
+    torch.manual_seed(seed)
+    enc = _TXLEncoder(cfg)
+    for p in enc.parameters():
+        if p.dim() >= 2:
+            nn.init.normal_(p, 0.0, 0.05)
+    if cfg.encode_position:
+        # padding_idx=0 rows stay zero in real checkpoints (fastai
+        # init_transformer re-inits only Linear/LayerNorm/u/v)
+        with torch.no_grad():
+            enc.beat_enc.beat_enc.weight[0].zero_()
+            enc.beat_enc.bar_enc.weight[0].zero_()
+    head = _LinearDecoder(cfg.d_model, cfg.vocab_size, enc.encoder,
+                          bias=cfg.out_bias)
+    if cfg.out_bias:
+        nn.init.normal_(head.decoder.bias, 0.0, 0.02)
+    model = nn.Sequential(enc, head)
+    model.eval()
+    return model
+
+
+@torch.no_grad()
+def _txl_mirror_forward(model, x: torch.Tensor, pos=None) -> np.ndarray:
+    """Independent forward applying the mirror's nn modules with fastai's
+    TransformerXL semantics (deep_music_genre.py:1617-1647), empty memory."""
+    enc, head = model[0], model[1]
+    B, L = x.shape
+    H = enc.u.shape[0]
+    Dh = enc.u.shape[-1]
+    D = enc.encoder.embedding_dim
+    h = enc.encoder(x)
+    if pos is not None and hasattr(enc, "beat_enc"):
+        h = h + enc.beat_enc(pos)
+    r = sinusoid(torch.arange(L - 1, -1, -1), D)
+    mask = torch.triu(torch.ones(L, L, dtype=torch.bool), 1)[None, None]
+    for layer in enc.layers:
+        m = layer.mhra
+        qkv = m.attention(h)
+        wq, wk, wv = qkv.chunk(3, dim=-1)
+        shp = lambda z: z.view(B, L, H, Dh).permute(0, 2, 1, 3)
+        wq, wk, wv = shp(wq), shp(wk), shp(wv)
+        wkr = m.r_attn(r).view(L, H, Dh).permute(1, 2, 0)
+        AC = torch.matmul(wq + enc.u, wk.transpose(-1, -2))
+        BD = line_shift(torch.matmul(wq + enc.v, wkr))
+        score = ((AC + BD) / math.sqrt(Dh)).masked_fill(mask, -1e9)
+        attn = torch.matmul(F.softmax(score, -1), wv)
+        attn = attn.permute(0, 2, 1, 3).reshape(B, L, H * Dh)
+        h = m.ln(h + m.out(attn))
+        ff = layer.ff.layers
+        y = ff[3](F.gelu(ff[0](h)))
+        h = ff[6](h + y)
+    return head.decoder(h).numpy()
+
+
+# ---------------------------------------------------------------------------
+# Mirror modules: MultiTransformer layout (deep_music_remix.py:1851-2104)
+# ---------------------------------------------------------------------------
+
+class _KVAttn(nn.Module):
+    """MemMultiHeadRelativeAttentionKV param layout (remix:2025-2045)."""
+
+    def __init__(self, H, D, Dh, bias=True):
+        super().__init__()
+        self.q_wgt = nn.Linear(D, H * Dh, bias=bias)
+        self.k_wgt = nn.Linear(D, H * Dh, bias=bias)
+        self.v_wgt = nn.Linear(D, H * Dh, bias=bias)
+        self.r_attn = nn.Linear(D, H * Dh, bias=bias)
+        self.ln = nn.LayerNorm(D)
+
+
+class _MTBlock(nn.Module):
+    def __init__(self, H, D, Dh, d_ff, bias=True):
+        super().__init__()
+        self.mha1 = _KVAttn(H, D, Dh, bias)
+        self.mha2 = _KVAttn(H, D, Dh, bias)
+        self.ff = _FF(D, d_ff)
+
+
+class _TransformerEmbedding(nn.Module):
+    def __init__(self, V, D, beat_len=32, max_bar_len=1024, pad_idx=1):
+        super().__init__()
+        self.embed = nn.Embedding(V, D, padding_idx=pad_idx)
+        self.pos_enc = _PosEnc(D)
+        self.beat_enc = nn.Embedding(beat_len, D, padding_idx=0)
+        self.bar_enc = nn.Embedding(max_bar_len, D, padding_idx=0)
+        self.beat_len, self.max_bar_len = beat_len, max_bar_len
+
+    def forward(self, x, pos):
+        bar = torch.clamp(pos // self.beat_len % self.max_bar_len,
+                          max=self.max_bar_len - 1)
+        return (self.embed(x) + self.beat_enc(pos % self.beat_len)
+                + self.bar_enc(bar))
+
+
+class _MTEncoder(nn.Module):
+    def __init__(self, embed, cfg: MultitaskConfig, n_layers):
+        super().__init__()
+        self.embed = embed
+        H, D, Dh = cfg.n_heads, cfg.d_model, cfg.d_head
+        self.u = nn.Parameter(torch.randn(H, 1, Dh) * 0.05)
+        self.v = nn.Parameter(torch.randn(H, 1, Dh) * 0.05)
+        self.layers = nn.ModuleList([
+            _MTBlock(H, D, Dh, cfg.d_inner, cfg.bias)
+            for _ in range(n_layers)])
+
+
+class _MTHead(nn.Module):
+    def __init__(self, D, V, tie, bias=True):
+        super().__init__()
+        self.decoder = nn.Linear(D, V, bias=bias)
+        self.decoder.weight = tie.weight
+
+
+class _MultiTransformerMirror(nn.Module):
+    def __init__(self, cfg: MultitaskConfig, seed=0):
+        super().__init__()
+        torch.manual_seed(seed)
+        embed = _TransformerEmbedding(cfg.vocab_size, cfg.d_model,
+                                      cfg.beat_len, cfg.max_bar_len)
+        self.encoder = _MTEncoder(embed, cfg, cfg.enc_layers)
+        self.decoder = _MTEncoder(embed, cfg, cfg.dec_layers)
+        self.head = _MTHead(cfg.d_model, cfg.vocab_size, embed.embed,
+                            cfg.out_bias)
+        for p in self.parameters():
+            if p.dim() >= 2:
+                nn.init.normal_(p, 0.0, 0.05)
+        with torch.no_grad():
+            embed.embed.weight[1].zero_()
+            embed.beat_enc.weight[0].zero_()
+            embed.bar_enc.weight[0].zero_()
+        self.eval()
+
+
+@torch.no_grad()
+def _mt_attn_forward(m: _KVAttn, u, v, q_in, kv_in, r, mask=None,
+                     r_mask=False):
+    """MemMultiHeadRelativeAttentionKV._apply_attention + post-norm
+    (remix:2074-2104), empty memory."""
+    B, Lq, D = q_in.shape
+    K = kv_in.shape[1]
+    H, Dh = u.shape[0], u.shape[-1]
+    shp = lambda z, L: z.view(B, L, H, Dh).permute(0, 2, 1, 3)
+    wq = shp(m.q_wgt(q_in), Lq)
+    wk = shp(m.k_wgt(kv_in), K)
+    wv = shp(m.v_wgt(kv_in), K)
+    wkr = m.r_attn(r[-K:]).view(K, H, Dh).permute(1, 2, 0)
+    AC = torch.matmul(wq + u, wk.transpose(-1, -2))
+    BD = line_shift(torch.matmul(wq + v, wkr))
+    if r_mask:
+        BD = BD * torch.tril(BD.new_ones(Lq, K), K - Lq)[None, None]
+    score = (AC + BD) / math.sqrt(Dh)
+    if mask is not None:
+        score = score.masked_fill(mask, -1e9)
+    attn = torch.matmul(F.softmax(score, -1), wv)
+    attn = attn.permute(0, 2, 1, 3).reshape(B, Lq, H * Dh)
+    return m.ln(q_in + attn)
+
+
+@torch.no_grad()
+def _mt_stack_forward(stack: _MTEncoder, cfg, x, pos, enc_out=None,
+                      is_decoder=False):
+    h = stack.embed(x, pos)
+    B, L, D = h.shape
+    r_len = max(L, enc_out.shape[1] if enc_out is not None else 0) + cfg.mem_len
+    r = sinusoid(torch.arange(r_len - 1, -1, -1), D)
+    mask = None
+    if is_decoder:
+        mask = torch.triu(torch.ones(L, L, dtype=torch.bool), 1)[None, None]
+    for blk in stack.layers:
+        h = _mt_attn_forward(blk.mha1, stack.u, stack.v, h, h, r, mask=mask)
+        if enc_out is not None:
+            h = _mt_attn_forward(blk.mha2, stack.u, stack.v, h, enc_out, r,
+                                 r_mask=True)
+            ff = blk.ff.layers
+            y = ff[3](F.relu(ff[0](h)))     # multitask FF act is ReLU (quirk)
+            h = ff[6](h + y)
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Tests
+# ---------------------------------------------------------------------------
+
+def _jx(tree):
+    return jax.tree_util.tree_map(
+        lambda a: None if a is None else jnp.asarray(a), tree,
+        is_leaf=lambda a: a is None)
+
+
+def _small_txl_cfg(**kw):
+    base = dict(vocab_size=324, n_layers=2, d_model=64, d_inner=96,
+                n_heads=4, d_head=16, ctx_len=64, mem_len=64,
+                encode_position=True, bias=False, out_bias=True,
+                dtype="float32", embed_p=0.0, resid_p=0.0, attn_p=0.0,
+                ff_p=0.0, output_p=0.0)
+    base.update(kw)
+    return TXLConfig(**base)
+
+
+def _small_mt_cfg(**kw):
+    base = dict(vocab_size=324, enc_layers=2, dec_layers=2, d_model=64,
+                d_inner=96, n_heads=4, d_head=16, ctx_len=64, mem_len=64,
+                act="relu", bias=True, out_bias=True, dtype="float32",
+                embed_p=0.0, resid_p=0.0, attn_p=0.0, ff_p=0.0, output_p=0.0)
+    base.update(kw)
+    return MultitaskConfig(**base)
+
+
+def test_txl_import_logit_and_greedy_parity():
+    cfg = _small_txl_cfg()
+    model = _txl_mirror(cfg, seed=1)
+    sd = model.state_dict()
+    assert "0.encoder.weight" in sd and "1.decoder.bias" in sd
+    assert "0.layers.0.mhra.attention.weight" in sd
+    assert "0.layers.1.ff.layers.3.weight" in sd
+
+    icfg, params = ti.txl_state_dict_to_pytree(sd, cfg)
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, cfg.vocab_size, size=(2, 12))
+    pos = np.cumsum(rng.integers(0, 3, size=(2, 12)), axis=1)
+
+    theirs = _txl_mirror_forward(model, torch.from_numpy(x),
+                                 torch.from_numpy(pos))
+    state = txl.init_state(cfg, 2)
+    ours, _ = txl.forward(_jx(params), cfg, jnp.asarray(x),
+                          pos=jnp.asarray(pos), state=state)
+    ours = np.asarray(ours, np.float32)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-4)
+    np.testing.assert_array_equal(ours.argmax(-1), theirs.argmax(-1))
+
+
+def test_txl_autodetect_config_from_weights():
+    cfg = _small_txl_cfg()
+    sd = _txl_mirror(cfg, seed=2).state_dict()
+    icfg, params = ti.txl_state_dict_to_pytree(sd)   # no config given
+    assert (icfg.vocab_size, icfg.n_layers, icfg.d_model, icfg.n_heads,
+            icfg.d_head, icfg.d_inner) == (324, 2, 64, 4, 16, 96)
+    assert icfg.encode_position and not icfg.bias and icfg.out_bias
+
+
+def test_txl_export_import_roundtrip():
+    cfg = _small_txl_cfg(encode_position=False)
+    params = txl.init_txl(jax.random.PRNGKey(3), cfg)
+    sd = ti.txl_pytree_to_state_dict(
+        jax.tree_util.tree_map(
+            lambda a: None if a is None else np.asarray(a), params,
+            is_leaf=lambda a: a is None), cfg)
+    icfg, back = ti.txl_state_dict_to_pytree(sd, cfg)
+    flat1, _ = jax.tree_util.tree_flatten(
+        jax.tree_util.tree_map(lambda a: np.asarray(a), params))
+    flat2, _ = jax.tree_util.tree_flatten(back)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a, np.float32), b)
+
+
+def test_multitask_import_parity_all_paths():
+    cfg = _small_mt_cfg()
+    model = _MultiTransformerMirror(cfg, seed=4)
+    sd = model.state_dict()
+    assert "encoder.embed.embed.weight" in sd
+    assert "decoder.layers.1.mha2.r_attn.weight" in sd
+    assert "head.decoder.bias" in sd
+
+    icfg, params = ti.multitask_state_dict_to_pytree(sd, cfg)
+    jparams = _jx(params)
+    rng = np.random.default_rng(1)
+    toks = lambda: rng.integers(2, cfg.vocab_size, size=(2, 10)).astype(np.int32)
+    poss = lambda: np.cumsum(rng.integers(0, 3, (2, 10)), 1).astype(np.int32)
+    xm, pm = toks(), poss()
+    xl, pl = toks(), poss()
+    xe, pe, xd, pd = toks(), poss(), toks(), poss()
+
+    inp = {"msk": {"x": xm, "pos": pm}, "lm": {"x": xl, "pos": pl},
+           "s2f": {"enc": xe, "enc_pos": pe, "dec": xd, "dec_pos": pd}}
+    ours = mt.forward(jparams, cfg,
+                      jax.tree_util.tree_map(jnp.asarray, inp))
+
+    t = torch.from_numpy
+    h_m = _mt_stack_forward(model.encoder, cfg, t(xm), t(pm))
+    h_l = _mt_stack_forward(model.decoder, cfg, t(xl), t(pl), is_decoder=True)
+    e = _mt_stack_forward(model.encoder, cfg, t(xe), t(pe))
+    h_s = _mt_stack_forward(model.decoder, cfg, t(xd), t(pd), enc_out=e,
+                            is_decoder=True)
+    with torch.no_grad():
+        theirs = {k: model.head.decoder(v).numpy()
+                  for k, v in (("msk", h_m), ("lm", h_l), ("s2f", h_s))}
+    for key in ("msk", "lm", "s2f"):
+        np.testing.assert_allclose(np.asarray(ours[key], np.float32),
+                                   theirs[key], atol=3e-4, rtol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(ours[key]).argmax(-1), theirs[key].argmax(-1))
+
+
+def test_multitask_export_keyset_matches_mirror():
+    """The exporter emits exactly the mirror module's state_dict keys
+    (minus non-parameter buffers) — guards key-name drift in either
+    direction."""
+    cfg = _small_mt_cfg()
+    model = _MultiTransformerMirror(cfg, seed=5)
+    icfg, params = ti.multitask_state_dict_to_pytree(model.state_dict(), cfg)
+    back = ti.multitask_pytree_to_state_dict(params, cfg)
+    mirror_keys = {k for k in model.state_dict() if not k.endswith("pos_enc.freq")}
+    assert set(back) == mirror_keys
+
+
+def test_pth_file_import_with_fastai_enum_config(tmp_path):
+    """End-to-end .pth load: config dict contains a fastai Activation enum
+    and an unimportable init function; the permissive unpickler stubs them
+    and act maps correctly."""
+    import enum
+    import types
+
+    mod = types.ModuleType("fastai_fake_transformer")
+    mod.Activation = enum.Enum("Activation", "ReLU Swish GeLU")
+    mod.init_transformer = lambda m: m
+    mod.Activation.__module__ = "fastai_fake_transformer"
+    mod.init_transformer.__module__ = "fastai_fake_transformer"
+    mod.init_transformer.__qualname__ = "init_transformer"
+    sys.modules["fastai_fake_transformer"] = mod
+    try:
+        cfg = _small_txl_cfg()
+        model = _txl_mirror(cfg, seed=6)
+        raw_cfg = {"ctx_len": 64, "mem_len": 64, "d_model": 64, "d_inner": 96,
+                   "n_layers": 2, "n_heads": 4, "d_head": 16, "bias": False,
+                   "out_bias": True, "encode_position": True, "mask_steps": 4,
+                   "act": mod.Activation.GeLU,
+                   "init": mod.init_transformer,
+                   "transpose_range": (0, 12)}
+        path = os.path.join(tmp_path, "genre.pth")
+        torch.save({"model": model.state_dict(), "config": raw_cfg,
+                    "opt": None}, path)
+    finally:
+        del sys.modules["fastai_fake_transformer"]
+
+    icfg, params, vocab, extra = ti.import_torch_checkpoint(path)
+    assert isinstance(icfg, TXLConfig)
+    assert icfg.act == "gelu" and icfg.n_layers == 2 and icfg.mem_len == 64
+    assert icfg.encode_position and vocab.layout == "genre"
+    assert params["embed"].shape == (324, 64)
+
+
+def test_pth_multitask_act_forced_relu(tmp_path):
+    cfg = _small_mt_cfg()
+    model = _MultiTransformerMirror(cfg, seed=7)
+    path = os.path.join(tmp_path, "mask.pth")
+    torch.save({"model": model.state_dict(),
+                "config": {"enc_layers": 2, "dec_layers": 2, "d_model": 64,
+                           "d_inner": 96, "n_heads": 4, "d_head": 16,
+                           "ctx_len": 64, "act": "gelu", "bias": True},
+                "opt": None}, path)
+    icfg, params, vocab, extra = ti.import_torch_checkpoint(path)
+    assert isinstance(icfg, MultitaskConfig)
+    # reference quirk: MTEncoderBlock never forwards act → trained FF is ReLU
+    assert icfg.act == "relu"
+    assert icfg.mem_len == 512  # popped pre-save by get_multitask_model
+
+
+def test_cli_import_checkpoint_roundtrip(tmp_path):
+    from deepmusicgeneration_tpu import cli
+    from deepmusicgeneration_tpu.train.checkpoint import load_checkpoint
+
+    cfg = _small_txl_cfg(encode_position=False)
+    model = _txl_mirror(cfg, seed=8)
+    src = os.path.join(tmp_path, "lakh_genre_model.pth")
+    torch.save({"model": model.state_dict(), "opt": None,
+                "config": {"n_layers": 2, "d_model": 64, "d_inner": 96,
+                           "n_heads": 4, "d_head": 16, "ctx_len": 64,
+                           "mem_len": 64, "encode_position": False,
+                           "bias": False, "act": "gelu"}}, src)
+    dest = os.path.join(tmp_path, "imported")
+    cli.main(["import-checkpoint", src, dest])
+    params, opt, icfg, vocab, manifest = load_checkpoint(dest)
+    assert manifest["kind"] == "txl"
+    assert manifest["extra"]["source_format"] == "fastai-pth"
+    np.testing.assert_array_equal(
+        params["embed"], model.state_dict()["0.encoder.weight"].numpy())
+
+
+def test_untied_head_rejected():
+    cfg = _small_txl_cfg(encode_position=False)
+    model = _txl_mirror(cfg, seed=9)
+    sd = dict(model.state_dict())
+    sd["1.decoder.weight"] = sd["1.decoder.weight"] + 1.0
+    with pytest.raises(ValueError, match="untied"):
+        ti.txl_state_dict_to_pytree(sd, cfg)
