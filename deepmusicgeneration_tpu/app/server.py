@@ -40,7 +40,8 @@ class MusicServer:
         self._genre = genre_learner
         self._multi = multitask_learner
         self._service = None
-        self._lock = threading.Lock()
+        # RLock: service() holds it while calling genre(), which locks again
+        self._lock = threading.RLock()
         self.max_batch = max_batch
         self.continuous = continuous
 
@@ -60,6 +61,12 @@ class MusicServer:
             return self._multi
 
     def service(self):
+        # same lock discipline as genre()/multi(): two concurrent first
+        # /generate requests must not build two resident services
+        with self._lock:
+            return self._service_locked()
+
+    def _service_locked(self):
         if self._service is None:
             if self.continuous:
                 from ..decode.continuous import ContinuousGenerationService

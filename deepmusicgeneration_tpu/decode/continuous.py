@@ -427,6 +427,19 @@ class ContinuousEngine:
                                 else "slab")
         self.slots: list = [None] * n_slots   # Optional[_Slot]
 
+    def reset(self) -> None:
+        """Rebuild the resident device batch (fresh buffers, all slots free).
+
+        Needed after a failed jit step: the step donates the state buffers,
+        so a raise mid-call leaves ``self.state`` pointing at deleted/stale
+        device arrays and every later insert/chunk would hit confusing
+        donation errors."""
+        self.state = init_state(self.cfg, len(self.slots), self.mem_len,
+                                len(self.vocab.itos),
+                                kernel="xla" if self.kernel == "xla"
+                                else "slab")
+        self.slots = [None] * len(self.slots)
+
     # -- admission -----------------------------------------------------------
     def free_slots(self) -> list:
         return [i for i, s in enumerate(self.slots) if s is None]
@@ -586,12 +599,39 @@ class ContinuousGenerationService:
                 try:
                     self.engine.step_chunk()
                 except Exception as e:   # device failure — fail all residents
-                    for i, s in enumerate(self.engine.slots):
+                    for s in self.engine.slots:
                         if s is not None and not s.future.done():
                             s.future.set_exception(e)
-                            self.engine.slots[i] = None
+                    # the failed jit call donated the state buffers; rebuild
+                    # the resident batch so later requests hit fresh device
+                    # arrays instead of deleted/stale ones
+                    try:
+                        self.engine.reset()
+                    except Exception as re:
+                        self._closed = True
+                        self._fail_pending(RuntimeError(
+                            f"service closed: device reset failed ({re})"))
+                        return
+
+    def _fail_pending(self, exc: Exception) -> None:
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None and not item[2].done():
+                item[2].set_exception(exc)
 
     def close(self):
         self._closed = True
         self._q.put(None)
         self._thread.join(timeout=60)
+        if self._thread.is_alive():
+            # a resident decode outlived the join: callers must not be left
+            # waiting on futures the daemon thread still owns
+            exc = RuntimeError("service close timed out; worker still busy")
+            for s in self.engine.slots:
+                if s is not None and not s.future.done():
+                    s.future.set_exception(exc)
+            self._fail_pending(exc)
+            raise exc

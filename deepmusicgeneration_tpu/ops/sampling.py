@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 FILTER_VALUE = -1e9
 
@@ -66,7 +67,7 @@ def _filter_sorted(logits: jnp.ndarray, top_k, top_p):
     neg_sorted, order = jax.lax.sort((-logits, iota), dimension=-1, num_keys=1)
     slog = -neg_sorted
     keep = slog > FILTER_VALUE / 2          # grammar-banned rows stay dead
-    if isinstance(top_k, (int,)):
+    if isinstance(top_k, (int, np.integer)):
         if top_k > 0 and top_k < V:
             kth = slog[..., top_k - 1:top_k]
             keep = keep & (slog >= kth)     # ties at the threshold survive

@@ -232,3 +232,55 @@ def test_service_streams_mixed_requests(setup, vocab, prompts):
     for i, out in enumerate(outs):
         assert 0 < len(out) <= 16 + 8 * (i % 2)
         check_grammar(out, vocab, prev0=int(prompts[i % 3][-1]))
+
+
+def test_service_recovers_after_step_failure(setup, vocab, prompts):
+    """A step_chunk exception fails the resident futures AND rebuilds the
+    donated device state so later requests still succeed (ADVICE r3)."""
+    params, cfg = setup
+    eng = ContinuousEngine(params, cfg, vocab, n_slots=2, chunk=8)
+    orig_step = eng.step_chunk
+    boom = {"n": 0}
+
+    def exploding_step():
+        boom["n"] += 1
+        if boom["n"] == 1:
+            raise RuntimeError("injected device failure")
+        return orig_step()
+
+    eng.step_chunk = exploding_step
+    svc = ContinuousGenerationService(engine=eng)
+    try:
+        f1 = svc.submit(prompts[0], n_words=8, seed=0)
+        with pytest.raises(RuntimeError, match="injected"):
+            f1.result(timeout=300)
+        # engine state was rebuilt: a new request completes normally
+        f2 = svc.submit(prompts[1], n_words=8, seed=1)
+        out = f2.result(timeout=300)
+        assert 0 < len(out) <= 8
+    finally:
+        svc.close()
+    assert boom["n"] >= 2
+
+
+def test_engine_reset_clears_slots(setup, vocab, prompts):
+    eng = fresh(setup, vocab)
+    eng.insert(0, prompts[0], n_words=8)
+    assert eng.free_slots() != list(range(4))
+    eng.reset()
+    assert eng.free_slots() == list(range(4))
+    # usable after reset
+    out = eng.generate(prompts[1], n_words=8, seed=3)
+    assert 0 < len(out) <= 8
+
+
+def test_numpy_integer_top_k(setup, vocab, prompts):
+    """np.integer top_k (e.g. from json/np config) takes the static branch
+    instead of crashing in the per-row path (ADVICE r3)."""
+    from deepmusicgeneration_tpu.ops.sampling import top_k_top_p
+    import jax.numpy as jnp
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32)),
+                         jnp.float32)
+    a = top_k_top_p(logits, top_k=np.int64(5), top_p=0.9)
+    b = top_k_top_p(logits, top_k=5, top_p=0.9)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
