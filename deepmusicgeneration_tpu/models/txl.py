@@ -160,7 +160,7 @@ def _sharded_flash_attention(mesh, cfg: TXLConfig, q, k, vv, wkr_flat,
 
 
 def _block(lp, cfg: TXLConfig, h, h_ctx, r, u, v, mask, rngs, train,
-           flash_args=None, mesh=None):
+           flash_args=None, mesh=None, ring_args=None):
     """One post-norm TXL block: rel-attention over [mem, x] then FFN.
 
     ``flash_args = (win_size, win_k, mem_valid, pad_mask)`` switches the
@@ -168,10 +168,31 @@ def _block(lp, cfg: TXLConfig, h, h_ctx, r, u, v, mask, rngs, train,
     (ops/flash_train.py): scores never materialize in HBM in either the
     forward or the backward pass, and the mask is rebuilt in-kernel from the
     same window parameters (`mask` is then unused). With ``mesh`` the kernel
-    runs per-device under shard_map (dp batch, tp heads)."""
+    runs per-device under shard_map (dp batch, tp heads).
+
+    ``ring_args = (mesh, axis, dp_axis)`` instead routes the attention
+    through the sequence-parallel ring (ops/ring_attention.py): the window
+    is sharded over mesh axis ``axis`` and K/V chunks rotate via ppermute.
+    Plain-causal only, no XL memory (the long-context regime — the caller
+    validates)."""
     H, Dh = cfg.n_heads, cfg.d_head
     HD = H * Dh
-    if flash_args is not None:
+    if ring_args is not None:
+        from ..ops.ring_attention import ring_rel_attention
+        rmesh, raxis, rdp = ring_args
+        dt = h.dtype
+        w = lp["qkv_w"].astype(dt)
+        y = h @ w
+        if lp["qkv_b"] is not None:
+            y = y + lp["qkv_b"].astype(dt)
+        q, k, vv = y[..., :HD], y[..., HD:2 * HD], y[..., 2 * HD:]
+        wkr_flat = r @ lp["r_w"].astype(dt)
+        if lp["r_b"] is not None:
+            wkr_flat = wkr_flat + lp["r_b"].astype(dt)
+        attn = ring_rel_attention(
+            rmesh, q, k, vv, wkr_flat, u.reshape(H, Dh), v.reshape(H, Dh),
+            H, axis=raxis, scale=cfg.scale, dp_axis=rdp)
+    elif flash_args is not None:
         from ..ops.flash_train import flash_train_attention
         win_size, win_k, mem_valid, pad_mask = flash_args
         dt = h.dtype
@@ -252,6 +273,9 @@ def forward(
     pad_mask: Optional[jnp.ndarray] = None,  # (B, L) True where x is padding
     flash: Optional[bool] = None,
     mesh=None,
+    ring_mesh=None,
+    ring_axis: str = "sp",
+    ring_dp_axis: Optional[str] = "dp",
 ) -> Tuple[jnp.ndarray, TXLState]:
     """Full-window forward. Returns (logits (B, L, V), new_state).
 
@@ -261,7 +285,16 @@ def forward(
     backend, bf16, B >= 8, 128-aligned L and M+L). The window arguments may
     be traced either way (the curriculum never recompiles). On a multi-device
     ``mesh`` the kernel runs per-device under shard_map (dp batch, tp
-    heads) — see :func:`_sharded_flash_attention`."""
+    heads) — see :func:`_sharded_flash_attention`.
+
+    ``ring_mesh``: sequence parallelism — shard the WINDOW over mesh axis
+    ``ring_axis`` and run every layer's attention through the ppermute ring
+    (ops/ring_attention.py), for contexts past one chip's HBM. Constraints
+    of the regime (validated here): no XL memory (pass ``state=None`` — one
+    long window replaces segment recurrence), plain-causal mask
+    (``win_size == 1``), no pad columns, and attention-probability dropout
+    is skipped (all other dropouts apply). ``ring_dp_axis`` names the mesh
+    axis the batch dim is sharded over (None if unsharded)."""
     B, L = x.shape
     dt = cfg.act_dtype
     emb = params["embed"][x].astype(dt)
@@ -274,6 +307,18 @@ def forward(
     M = state.mem.shape[2] if state is not None else 0
     seq = M + L
     r = backwards_pos_enc(seq, cfg.d_model, dtype=dt)
+    ring_args = None
+    if ring_mesh is not None:
+        if M:
+            raise ValueError(
+                "ring (sequence-parallel) attention replaces XL memory with "
+                "one long window — pass state=None (or mem_len=0)")
+        if pad_mask is not None:
+            raise ValueError("ring attention does not support pad columns")
+        if isinstance(win_size, int) and win_size != 1:
+            raise ValueError("ring attention is plain-causal (win_size=1)")
+        ring_args = (ring_mesh, ring_axis, ring_dp_axis)
+        flash = False
     if flash is None:
         flash = (jax.default_backend() == "tpu" and dt == jnp.bfloat16
                  and B >= 8 and L % 128 == 0 and seq % 128 == 0
@@ -282,6 +327,9 @@ def forward(
         mask = None
         flash_args = (win_size, win_k,
                       state.valid if state is not None else 0, pad_mask)
+    elif ring_args is not None:
+        mask = None   # the ring body rebuilds causality from global indices
+        flash_args = None
     else:
         flash_args = None
         mask = causal_window_mask(L, M, win_size, win_k,
@@ -302,7 +350,8 @@ def forward(
             h_ctx = h
         layer_rngs = rngs[1 + 4 * i:5 + 4 * i] if rngs else None
         h = _block(lp, cfg, h, h_ctx, r, params["u"].astype(dt), params["v"].astype(dt),
-                   mask, layer_rngs, train, flash_args=flash_args, mesh=mesh)
+                   mask, layer_rngs, train, flash_args=flash_args, mesh=mesh,
+                   ring_args=ring_args)
 
     out = _dropout(h, cfg.output_p, None if rngs is None else jax.random.fold_in(rngs[0], 1), train)
     logits = out.astype(jnp.float32) @ params["embed"].T.astype(jnp.float32)

@@ -111,7 +111,8 @@ def _ring_body(q, k, v, wkr, u, vb, *, axis: str, sp: int, W: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "n_heads", "axis", "scale"))
+                   static_argnames=("mesh", "n_heads", "axis", "scale",
+                                    "dp_axis"))
 def ring_rel_attention(
     mesh,
     q: jnp.ndarray,          # (B, W, HD), W sharded over mesh axis `axis`
@@ -123,9 +124,15 @@ def ring_rel_attention(
     n_heads: int,
     axis: str = "sp",
     scale: bool = True,
+    dp_axis: str = None,
 ) -> jnp.ndarray:
     """Causal relative attention with the sequence ring-sharded over
-    ``axis``. Returns (B, W, HD) with the same sharding as ``q``."""
+    ``axis``. Returns (B, W, HD) with the same sharding as ``q``.
+
+    ``dp_axis``: name of a data-parallel mesh axis the BATCH dim is sharded
+    over (e.g. "dp" inside ``make_sharded_train_step``) — without it,
+    shard_map's in_specs would force an all-gather of dp-sharded activations
+    before the ring. The ring itself only ever communicates over ``axis``."""
     B, W, HD = q.shape
     H = n_heads
     Dh = HD // H
@@ -142,7 +149,7 @@ def ring_rel_attention(
 
     body = functools.partial(_ring_body, axis=axis, sp=sp, W=W,
                              n_heads=H, sc=sc)
-    seq = P(None, axis, None)
+    seq = P(dp_axis, axis, None)
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(seq, seq, seq, P(None, None), P(None, None), P(None, None)),

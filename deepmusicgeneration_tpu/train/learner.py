@@ -115,7 +115,14 @@ class MusicLearner:
         sample_dir: Optional[str] = None,
         log_fn: Callable[[str], None] = print,
         seed: int = 0,
+        mesh=None,
     ) -> FitResult:
+        """``mesh``: a ``jax.sharding.Mesh`` for multi-chip training — params
+        and Adam moments sharded per ``txl_param_specs`` (tp on heads/FFN),
+        batch over dp; an ``sp`` axis of size > 1 additionally shards the
+        sequence and routes attention through the ring
+        (ops/ring_attention.py) for long-context bptt — the window-mask
+        curriculum is skipped there (ring is plain-causal)."""
         total_steps = len(loader) * epochs
         optimizer = make_optimizer(total_steps, peak_lr=lr, clip=clip)
         state = TrainState(
@@ -124,18 +131,34 @@ class MusicLearner:
             mem=txl.init_state(self.cfg, loader.bs),
             step=jnp.zeros((), jnp.int32),
         )
-        step_fn = jax.jit(make_train_step(self.cfg, optimizer, self.vocab.pad_idx),
-                          donate_argnums=(0,))  # win_size traced: no recompiles
+        sp = dict(getattr(mesh, "shape", {})).get("sp", 1)
+        if mesh is not None:
+            from .loop import make_sharded_train_step
+            step_fn, shard_state, shard_batch = make_sharded_train_step(
+                self.cfg, optimizer, self.vocab.pad_idx, mesh)
+            state = shard_state(state)
+        else:
+            shard_batch = None
+            step_fn = jax.jit(make_train_step(self.cfg, optimizer, self.vocab.pad_idx),
+                              donate_argnums=(0,))  # win_size traced: no recompiles
         rng = jax.random.PRNGKey(seed)
         host_rng = np.random.default_rng(seed)
         result = FitResult()
         patience_left = early_stop_patience
-        mask_steps = self.cfg.mask_steps
+        mask_steps = self.cfg.mask_steps if sp == 1 else 0
 
         for epoch in range(epochs):
             t0 = time.time()
             train_loss, train_acc, n = 0.0, 0.0, 0
-            state = state._replace(mem=txl.init_state(self.cfg, loader.bs))
+            fresh_mem = txl.init_state(self.cfg, loader.bs)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                fresh_mem = txl.TXLState(
+                    mem=jax.device_put(fresh_mem.mem,
+                                       NamedSharding(mesh, P(None, "dp"))),
+                    valid=jax.device_put(fresh_mem.valid,
+                                         NamedSharding(mesh, P())))
+            state = state._replace(mem=fresh_mem)
             for batch in loader:
                 rng, sub = jax.random.split(rng)
                 # rand_window_mask curriculum (genre:1586-1590): with p=0.2
@@ -143,6 +166,8 @@ class MusicLearner:
                 win = (int(host_rng.integers(1, max(mask_steps, 1) + 1))
                        if mask_steps and host_rng.random() < 0.2 else 1)
                 jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                if shard_batch is not None:
+                    jb = shard_batch(jb)
                 state, metrics = step_fn(state, jb, sub, win_size=win)
                 train_loss += float(metrics["loss"])
                 train_acc += float(metrics["acc"])
@@ -164,7 +189,8 @@ class MusicLearner:
                 result.best_loss = val_loss
                 patience_left = early_stop_patience
                 if save_best_to:
-                    self.params = state.params
+                    self.params = (jax.device_get(state.params)
+                                   if mesh is not None else state.params)
                     self.save(save_best_to, step=int(state.step))
             elif early_stop_patience is not None:
                 patience_left -= 1
@@ -175,7 +201,8 @@ class MusicLearner:
 
             if sample_every_epoch and sample_seed_item is not None:
                 try:
-                    self.params = state.params
+                    self.params = (jax.device_get(state.params)
+                                   if mesh is not None else state.params)
                     self._engine = None
                     _, full = self.predict(sample_seed_item, n_words=256, seed=epoch)
                     if sample_dir:
@@ -184,7 +211,8 @@ class MusicLearner:
                 except Exception as e:  # GenSamples catches too (notebook cell 65)
                     log_fn(f"Invalid prediction generated at epoch {epoch}: {e}")
 
-        self.params = state.params
+        self.params = (jax.device_get(state.params)
+                       if mesh is not None else state.params)
         self._engine = None
         return result
 

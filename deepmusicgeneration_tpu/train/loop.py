@@ -88,7 +88,8 @@ def init_train_state(rng: jax.Array, cfg: TXLConfig, optimizer, batch: int) -> T
 
 
 def make_train_step(cfg: TXLConfig, optimizer, pad_idx: int,
-                    flash: Optional[bool] = None, mesh=None) -> Callable:
+                    flash: Optional[bool] = None, mesh=None,
+                    ring_mesh=None) -> Callable:
     """Returns a jit-able train step.
 
     batch: dict with 'x' (B, L) int32, 'y' (B, L) int32, optional 'pos'.
@@ -97,6 +98,10 @@ def make_train_step(cfg: TXLConfig, optimizer, pad_idx: int,
     ``flash``: forwarded to txl.forward — None auto-selects the Pallas
     fwd+bwd flash attention on TPU (ops/flash_train.py); on a multi-device
     ``mesh`` the kernel runs per-device under shard_map.
+    ``ring_mesh``: sequence-parallel long-context training — attention runs
+    through the ppermute ring (ops/ring_attention.py) with the window sharded
+    over the mesh's ``sp`` axis. Plain-causal, XL memory disabled (one long
+    window IS the context; the curriculum's win_size is ignored).
     """
 
     def loss_fn(params, batch, mem, rng, win_size):
@@ -104,11 +109,17 @@ def make_train_step(cfg: TXLConfig, optimizer, pad_idx: int,
         # (only completed windows visible), plain causal uses diagonal 1.
         # win_size is a TRACED scalar so the per-batch random window never
         # recompiles the step (the mask math is all // and comparisons)
-        logits, new_mem = txl.forward(
-            params, cfg, batch["x"], pos=batch.get("pos"), state=mem,
-            train=True, rng=rng, win_size=win_size,
-            win_k=jnp.where(jnp.asarray(win_size) > 1, 0, 1), flash=flash,
-            mesh=mesh)
+        if ring_mesh is not None:
+            logits, new_mem = txl.forward(
+                params, cfg, batch["x"], pos=batch.get("pos"), state=None,
+                train=True, rng=rng, ring_mesh=ring_mesh)
+            new_mem = mem
+        else:
+            logits, new_mem = txl.forward(
+                params, cfg, batch["x"], pos=batch.get("pos"), state=mem,
+                train=True, rng=rng, win_size=win_size,
+                win_k=jnp.where(jnp.asarray(win_size) > 1, 0, 1), flash=flash,
+                mesh=mesh)
         loss, acc = cross_entropy(logits, batch["y"], ignore_index=pad_idx)
         return loss, (acc, new_mem)
 
@@ -144,7 +155,15 @@ def _shard_opt_state(opt_state, pspecs, mesh):
 
 def make_sharded_train_step(cfg: TXLConfig, optimizer, pad_idx: int, mesh):
     """The multi-chip train step: params sharded per ``txl_param_specs``
-    (tp on heads/ffn), batch sharded over dp. One jit; XLA places collectives."""
+    (tp on heads/ffn), batch sharded over dp. One jit; XLA places collectives.
+
+    If the mesh carries an ``sp`` axis of size > 1 (``make_mesh(...,
+    extra={"sp": n})``), the step trains SEQUENCE-PARALLEL: the (B, L) batch
+    is sharded (dp, sp) and every layer's attention runs through the
+    ppermute ring (ops/ring_attention.py) — the long-context configuration
+    for bptt past one chip's HBM. XL memory is off in this regime (the long
+    window replaces segment recurrence) and the mask is plain causal.
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
     from ..parallel.mesh import txl_param_specs
 
@@ -155,8 +174,11 @@ def make_sharded_train_step(cfg: TXLConfig, optimizer, pad_idx: int, mesh):
     n_dev = 1
     for v in getattr(mesh, "shape", {}).values():
         n_dev *= v
+    sp = dict(getattr(mesh, "shape", {})).get("sp", 1)
     base_step = make_train_step(cfg, optimizer, pad_idx,
-                                mesh=mesh if n_dev > 1 else None)
+                                mesh=mesh if (n_dev > 1 and sp == 1) else None,
+                                ring_mesh=mesh if sp > 1 else None)
+    seq_spec = P("dp", "sp") if sp > 1 else P("dp")
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, rng, win_size=1):
@@ -166,15 +188,17 @@ def make_sharded_train_step(cfg: TXLConfig, optimizer, pad_idx: int, mesh):
         from ..parallel.mesh import shard_pytree
         pspecs = txl_param_specs(state.params)
         params = shard_pytree(state.params, pspecs, mesh)
-        opt_state = _shard_opt_state(state.opt_state, pspecs, mesh)
+        # mem stays dp-sharded in both modes (in sp mode it is a dead carry —
+        # ring training has no XL memory; see make_train_step)
         mem = txl.TXLState(
             mem=jax.device_put(state.mem.mem, NamedSharding(mesh, P(None, "dp"))),
             valid=jax.device_put(state.mem.valid, NamedSharding(mesh, P())))
+        opt_state = _shard_opt_state(state.opt_state, pspecs, mesh)
         return TrainState(params, opt_state, mem,
                           jax.device_put(state.step, NamedSharding(mesh, P())))
 
     def shard_batch(batch):
-        return {k: jax.device_put(v, NamedSharding(mesh, P("dp")))
+        return {k: jax.device_put(v, NamedSharding(mesh, seq_spec))
                 for k, v in batch.items() if v is not None}
 
     return step, shard_state, shard_batch

@@ -35,6 +35,15 @@ def main():
     ap.add_argument("--patience", type=int, default=5)
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--medium", action="store_true")
+    ap.add_argument("--bptt", type=int, help="override context length "
+                    "(long-context runs; pairs with --sp)")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel mesh axis (0 = single device)")
+    ap.add_argument("--tp", type=int, default=1, help="tensor-parallel axis")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="sequence-parallel axis: shard bptt over this many "
+                    "devices and run ring attention (plain-causal, no XL "
+                    "memory — set --bptt to the full long context)")
     args = ap.parse_args()
     if not args.src and not args.npy_data:
         ap.error("one of --src / --npy-data is required")
@@ -67,6 +76,18 @@ def main():
     elif args.medium:
         cfg = cfg.replace(n_layers=4, d_model=256, d_inner=1024, n_heads=8,
                           d_head=32, ctx_len=256, mem_len=256)
+    if args.bptt:
+        cfg = cfg.replace(ctx_len=args.bptt,
+                          mem_len=0 if args.sp > 1 else cfg.mem_len)
+
+    mesh = None
+    if args.dp or args.tp > 1 or args.sp > 1:
+        from deepmusicgeneration_tpu.parallel.mesh import make_mesh
+        extra = {"sp": args.sp} if args.sp > 1 else None
+        mesh = make_mesh(dp=args.dp or None, tp=args.tp, extra=extra)
+        logger.log("mesh", shape=dict(mesh.shape))
+        if args.sp > 1 and cfg.ctx_len % args.sp:
+            ap.error(f"--bptt {cfg.ctx_len} must divide --sp {args.sp}")
 
     learner = MusicLearner(cfg, vocab)
     train_loader = LMStreamLoader(train_corpus, vocab, bs=args.bs, bptt=cfg.ctx_len,
@@ -85,7 +106,7 @@ def main():
         save_best_to=os.path.join(args.out, "ckpt"),
         sample_every_epoch=True, sample_seed_item=seed_item,
         sample_dir=os.path.join(args.out, "samples"),
-        log_fn=lambda s: logger.log("epoch", msg=s))
+        log_fn=lambda s: logger.log("epoch", msg=s), mesh=mesh)
     learner.save(os.path.join(args.out, "ckpt_final"))
     logger.log("done", best_loss=res.best_loss, epochs=len(res.history))
     print(f"best valid loss {res.best_loss:.4f}; checkpoints in {args.out}")
