@@ -69,8 +69,10 @@ def main():
         bpm = st.slider("Output BPM", 40, 240, 120)
         max_len = st.slider("Max generated tokens", 64, 1024, 512)
         cutoff = st.slider("Seed cutoff beat", 4, 128, 32)
+        # reference caps at 2048 (app.py:158); the TPU engine's KV ring and
+        # row-blocked flash prefill extend the lookback to 8192 (docs/PERF.md)
         mem_len = st.select_slider("Attention lookback (mem_len)",
-                                   [512, 1024, 2048], 512)
+                                   [512, 1024, 2048, 4096, 8192], 512)
         allowed = st.multiselect("Allowed instruments", INSTRUMENTS, [])
         if st.button("Run Prediction") and mid_path:
             model = createGenreContinuationModel()

@@ -374,7 +374,7 @@ def generate_compiled(
 # Host-level wrapper
 # ---------------------------------------------------------------------------
 
-def _bucket(n: int, buckets=(128, 256, 512, 1024, 2048)) -> int:
+def _bucket(n: int, buckets=(128, 256, 512, 1024, 2048, 4096, 8192)) -> int:
     for b in buckets:
         if n <= b:
             return b
