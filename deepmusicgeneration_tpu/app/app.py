@@ -34,6 +34,10 @@ def main():
         predictMaskModel,
         predictNwGenreModel,
     )
+    from deepmusicgeneration_tpu.app.audio import (
+        item_to_wav_bytes,
+        midi_to_wav_bytes,
+    )
     from deepmusicgeneration_tpu.app.piano_roll import (
         item_to_piano_roll_png,
         midi_to_piano_roll_png,
@@ -54,11 +58,15 @@ def main():
         mid_path = os.path.join("tempDir", uploaded.name)
         with open(mid_path, "wb") as f:
             f.write(uploaded.getbuffer())
-        # upload preview — the reference's audio preview intent (app.py:121-127)
-        # rendered as a piano roll (no synthesizer dependency)
+        # upload preview — the reference plays the MIDI in the browser
+        # (app.py:121-127); here a built-in synth (app/audio.py) renders a
+        # WAV so it is audible without a browser MIDI plugin, plus the roll
         png = midi_to_piano_roll_png(mid_path)
         if png:
             st.image(png, caption="Uploaded MIDI (piano roll)")
+        wav = midi_to_wav_bytes(mid_path)
+        if wav:
+            st.audio(wav, format="audio/wav")
 
     if task == "Music Generation":
         genre = st.selectbox("Genre", GENRES)
@@ -86,6 +94,7 @@ def main():
             st.success(f"Wrote {out}")
             st.image(item_to_piano_roll_png(full),
                      caption="Generated continuation (piano roll)")
+            st.audio(item_to_wav_bytes(full, bpm=bpm), format="audio/wav")
             st.download_button("Download MIDI", open(out, "rb").read(),
                                "genre_output.mid")
 
@@ -110,6 +119,7 @@ def main():
             st.success(f"Wrote {out}")
             st.image(item_to_piano_roll_png(pred),
                      caption="Remixed result (piano roll)")
+            st.audio(item_to_wav_bytes(pred, bpm=bpm), format="audio/wav")
             st.download_button("Download MIDI", open(out, "rb").read(),
                                os.path.basename(out))
 
@@ -129,6 +139,8 @@ def main():
             st.success(f"Wrote {out}")
             st.image(item_to_piano_roll_png(multitrack),
                      caption="Harmonized result (piano roll)")
+            st.audio(item_to_wav_bytes(multitrack, bpm=bpm),
+                     format="audio/wav")
             st.download_button("Download MIDI", open(out, "rb").read(),
                                "s2s_output.mid")
 
