@@ -502,9 +502,11 @@ class ContinuousEngine:
                 self._stacked, self._w_scales, self._embed32, self._head_b,
                 self.cfg, self.state, self.tables, self.wkr, self.settings,
                 self.chunk, self.mem_len, interpret=self.interpret)
-        toks = np.asarray(toks)
-        done = np.asarray(self.state.st.done)
-        n_emitted = np.asarray(self.state.st.n_emitted)
+        # joint fetch: three sequential np.asarray fetches would pay three
+        # ~30 ms tunnel roundtrips per chunk (docs/PERF.md "short-call
+        # anatomy"); one device_get pays one
+        toks, done, n_emitted = jax.device_get(
+            (toks, self.state.st.done, self.state.st.n_emitted))
         finished = []
         for i, slot in enumerate(self.slots):
             if slot is None:

@@ -56,6 +56,8 @@ class SamplerSettings:
     score_mode: str = "bf16"   # slab kernel score path: 'bf16' | 'int8'
     weights_int8: bool = False # int8 weights, upcast once/layer in VMEM
     kv_int4: bool = False      # slab cache packed 2 slots/byte (int4 nibbles)
+    allrows: bool = False      # all-rows slab kernel: one grid cell per
+                               # layer, KV streamed by manual DMA (slab_ar)
     flash_prefill: Optional[bool] = None  # None=auto; forced False under a
                                # mesh (the pallas prefill has no SPMD rule)
 
@@ -289,15 +291,28 @@ def generate_compiled(
             if settings.weights_int8:
                 stacked, w_scales = stacked  # (quantized stack, scale panel)
 
-            def run_stack(kv, idx, blocked, ptr):
-                kq, ksc, vq, vsc = kv
-                h_out, kq, ksc, vq, vsc = fused_slab_core(
-                    stacked, cfg, embed32[idx], wkr_mt, kq, ksc, vq, vsc,
-                    blocked, ptr, M, rows_per_cell=settings.rows_per_cell,
-                    score_mode=settings.score_mode,
-                    weights_int8=settings.weights_int8, w_scales=w_scales,
-                    kv_int4=settings.kv_int4)
-                return (kq, ksc, vq, vsc), h_out
+            if settings.allrows:
+                from ..ops.fused_decode import fused_slab_allrows_core
+
+                def run_stack(kv, idx, blocked, ptr):
+                    kq, ksc, vq, vsc = kv
+                    h_out, kq, ksc, vq, vsc = fused_slab_allrows_core(
+                        stacked, cfg, embed32[idx], wkr_mt, kq, ksc, vq, vsc,
+                        blocked, ptr, M,
+                        rows_per_cell=settings.rows_per_cell,
+                        weights_int8=settings.weights_int8,
+                        w_scales=w_scales)
+                    return (kq, ksc, vq, vsc), h_out
+            else:
+                def run_stack(kv, idx, blocked, ptr):
+                    kq, ksc, vq, vsc = kv
+                    h_out, kq, ksc, vq, vsc = fused_slab_core(
+                        stacked, cfg, embed32[idx], wkr_mt, kq, ksc, vq, vsc,
+                        blocked, ptr, M, rows_per_cell=settings.rows_per_cell,
+                        score_mode=settings.score_mode,
+                        weights_int8=settings.weights_int8, w_scales=w_scales,
+                        kv_int4=settings.kv_int4)
+                    return (kq, ksc, vq, vsc), h_out
 
             kv0 = (kq, ksc, vq, vsc)
         elif settings.kv_int8:
@@ -419,7 +434,7 @@ class GenerationEngine:
     # quantized reads), so they need 32-aligned memory; the bf16 'multirow'
     # ping-pong rewrite has no such requirement.
     _ALIGNED_KERNELS = ("slab", "slab_int8", "slab_w8", "multirow_int8",
-                        "slab4", "slab4_w8")
+                        "slab4", "slab4_w8", "slab_ar", "slab_ar_w8")
     # int4 packs slot PAIRS (m, m+M/2) per byte in 32-row tiles → M % 64
     _INT4_KERNELS = ("slab4", "slab4_w8")
 
@@ -565,7 +580,11 @@ class GenerationEngine:
         'slab_int8' (int8 MXU scores too), 'slab_w8' (slab + int8 weights
         upcast once per layer in VMEM), 'slab4' / 'slab4_w8' (slab with the
         KV cache packed two slots per byte — int4 nibbles + per-slot fp32
-        scales; halves the dominant KV HBM read, needs mem_len % 64 == 0).
+        scales; halves the dominant KV HBM read, needs mem_len % 64 == 0),
+        'slab_ar' / 'slab_ar_w8' (all-rows slab: one grid cell per LAYER —
+        weight matmuls run all B rows at once, KV panels streamed by manual
+        double-buffered DMA, single-row cache-write DMA; rows_per_cell is
+        the KV streaming group size there).
         ``rows_per_cell``: batch rows per fused-kernel grid cell (default 8;
         larger cells amortize MXU weight-tile loads over more rows at higher
         VMEM cost — int4's halved per-cell DMA is what makes 16 viable)."""
@@ -613,10 +632,13 @@ class GenerationEngine:
             fused=decode_kernel != "xla",
             rows_per_cell=rpc,
             slab=decode_kernel in ("slab", "slab_int8", "slab_w8",
-                                   "slab4", "slab4_w8"),
+                                   "slab4", "slab4_w8", "slab_ar",
+                                   "slab_ar_w8"),
             score_mode="int8" if decode_kernel == "slab_int8" else "bf16",
-            weights_int8=decode_kernel in ("slab_w8", "slab4_w8"),
+            weights_int8=decode_kernel in ("slab_w8", "slab4_w8",
+                                           "slab_ar_w8"),
             kv_int4=decode_kernel in self._INT4_KERNELS,
+            allrows=decode_kernel in ("slab_ar", "slab_ar_w8"),
             # the pallas prefill kernel has no SPMD partitioning rule: keep
             # dp-sharded serving on the XLA prefill path
             flash_prefill=False if self.mesh is not None else None)
@@ -655,4 +677,8 @@ class GenerationEngine:
                      else self.stacked_q() if settings.weights_int8
                      else self.stacked()))
         self.last_sharding = out.sharding  # inspectable by callers/tests
-        return np.asarray(out)[:B], np.asarray(lengths)[:B]
+        # one device_get for both outputs: sequential np.asarray fetches pay
+        # TWO tunnel roundtrips (~30 ms each on axon — measured, docs/PERF.md
+        # "short-call anatomy"); a joint fetch pays one
+        out, lengths = jax.device_get((out, lengths))
+        return out[:B], lengths[:B]

@@ -479,7 +479,10 @@ class S2SEngine:
             self.tables, jnp.asarray(temps), jnp.asarray(np.float32(top_p)),
             jnp.asarray(overlay), jax.random.PRNGKey(seed), settings,
             self.cfg.mem_len, kernel=self.kernel, stacked=self._stacked)
-        new = np.asarray(toks)[0, : int(np.asarray(lengths)[0])]
+        # joint fetch: two sequential np.asarray fetches cost two ~30 ms
+        # tunnel roundtrips (docs/PERF.md "short-call anatomy")
+        toks, lengths = jax.device_get((toks, lengths))
+        new = toks[0, : int(lengths[0])]
         return np.concatenate([targ, new])
 
 
@@ -655,4 +658,7 @@ class NWEngine:
             jnp.asarray(np.int32(min_bars)), jax.random.PRNGKey(seed),
             settings, self.cfg.mem_len, kernel=self.kernel,
             stacked=self._stacked)
-        return np.asarray(toks)[0, : int(np.asarray(lengths)[0])]
+        # joint fetch: sequential np.asarray fetches cost one ~30 ms tunnel
+        # roundtrip EACH (docs/PERF.md "short-call anatomy")
+        toks, lengths = jax.device_get((toks, lengths))
+        return toks[0, : int(lengths[0])]

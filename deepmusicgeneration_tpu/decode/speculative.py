@@ -308,7 +308,9 @@ def generate_speculative(
         jnp.asarray(np.float32(top_p)), jnp.asarray(np.int32(min_bars)),
         ins_mask, jax.random.PRNGKey(seed), settings,
         window=W, mem_len=mem_len, gamma=gamma)
-    result = np.asarray(out)[0][: int(lengths[0])]
+    # joint fetch of all four outputs — one tunnel roundtrip, not four
+    out, lengths, iters, n_acc = jax.device_get((out, lengths, iters, n_acc))
+    result = out[0][: int(lengths[0])]
     if return_stats:
         it = max(int(iters), 1)
         return result, {"iterations": int(iters),
