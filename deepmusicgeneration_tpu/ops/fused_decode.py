@@ -1346,3 +1346,331 @@ def fused_multirow_decode(
     return fused_multirow_core(
         stacked, cfg, h_in, wkr_f, kt, vc, blocked, jnp.reshape(ptr, ()),
         mem_len, rows_per_cell=rows_per_cell, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# All-rows slab kernel — ONE grid cell per LAYER (grid (L,)), not one per
+# (layer, row-group).
+#
+# Motivation (docs/PERF.md "MXU tile-load economics"): at B=64/R=8 the slab
+# kernel runs 64 cells per step and every cell re-pumps all ~288 weight
+# tiles of its layer through the MXU with only m=8 activation rows, plus a
+# measured ~17-29 µs fixed overhead per grid cell. This kernel:
+#   * runs the four weight matmuls (QKV / out / FF1 / FF2) ONCE per layer
+#     with ALL B rows — m=B instead of m=R, i.e. 8x fewer MXU weight-tile
+#     pumps at B=64/R=8,
+#   * streams the per-row KV panels from HBM (`pl.ANY` refs) in R-row
+#     groups with double-buffered manual DMA (`pltpu.make_async_copy`); the
+#     BlockSpec pipeline cannot express this — a per-layer block would be
+#     ~50 MB. Score/PV math per group is identical to `_make_slab_kernel`,
+#   * writes the fresh KV slot as a single-row strided DMA straight into
+#     the aliased cache outputs — DMA, unlike vector stores through
+#     out_specs, has no 32-sublane tile granularity, so no band merge is
+#     needed and per-step cache write traffic drops to B·HD bytes/layer,
+#   * leaves L=8 grid cells per step total (8x less fixed cell overhead).
+#
+# Benign race, by design: the slot-p row write DMA overlaps the streaming
+# score reads of the same layer's panels. Only row p changes, and `blocked`
+# masks slot p for every stream (its g-entry is M steps stale → dist > M),
+# so scores never consume the racing row. f32 scale tearing cannot produce
+# non-finite values (the exponent byte is copied whole from one side).
+#
+# score path is bf16-only (the slab sweep measured int8 MXU scores at +1%);
+# weights bf16 or int8 (upcast into VMEM scratch once per cell — each cell
+# IS a layer here, so the upcast runs exactly once per layer per step).
+# ---------------------------------------------------------------------------
+
+def _make_slab_allrows_kernel(cfg, M: int, B: int, R: int,
+                              weights_int8: bool):
+    H, Dh, D, Dff = cfg.n_heads, cfg.d_head, cfg.d_model, cfg.d_inner
+    HD = H * Dh
+    RH = R * H
+    G = B // R
+    scale = 1.0 / math.sqrt(Dh) if cfg.scale else 1.0
+    act = cfg.act
+
+    dot_t = lambda a, b: jax.lax.dot_general(  # (X,C),(Y,C)→(X,Y)
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dot_s = lambda a, b: jax.lax.dot_general(  # (C,X),(C,Y)→(X,Y)
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    def kernel(s_ref,
+               qkv_w, out_w, ff1_w, ff1_b, ff2_w, ff2_b,
+               ln1_g, ln1_b, ln2_g, ln2_b,
+               wkr_mt, u_ref, v_ref, w_scales,
+               kt, ks, vc, vs,                  # pl.ANY — full HBM arrays
+               h_in, blocked,
+               h_out, kt_o, ks_o, vc_o, vs_o,   # cache outs aliased, pl.ANY
+               h_scr, sc_scr, attn_scr,
+               kbuf, vbuf, ksbuf, vsbuf,
+               krow, vrow, ksrow, vsrow,
+               in_sems, wsems,
+               qkv_scr=None, out_scr=None, ff1_scr=None, ff2_scr=None):
+        li = pl.program_id(0)
+        p = s_ref[0]
+        wdt = jnp.bfloat16 if weights_int8 else qkv_w.dtype
+
+        def issue(g, slot):
+            for ref, buf, j in ((kt, kbuf, 0), (ks, ksbuf, 1),
+                                (vc, vbuf, 2), (vs, vsbuf, 3)):
+                pltpu.make_async_copy(ref.at[li, pl.ds(g * R, R)],
+                                      buf.at[slot],
+                                      in_sems.at[slot, j]).start()
+
+        def wait_in(g, slot):
+            for ref, buf, j in ((kt, kbuf, 0), (ks, ksbuf, 1),
+                                (vc, vbuf, 2), (vs, vsbuf, 3)):
+                pltpu.make_async_copy(ref.at[li, pl.ds(g * R, R)],
+                                      buf.at[slot],
+                                      in_sems.at[slot, j]).wait()
+
+        issue(0, 0)
+        if G > 1:
+            issue(1, 1)
+
+        @pl.when(li == 0)
+        def _init():
+            h_scr[:, :] = h_in[:, :].astype(jnp.float32)
+
+        if weights_int8:
+            qkv_scr[:, :] = (qkv_w[0].astype(jnp.float32)
+                             * w_scales[0, 0:1, 0:3 * HD]).astype(jnp.bfloat16)
+            out_scr[:, :] = (out_w[0].astype(jnp.float32)
+                             * w_scales[0, 1:2, 0:D]).astype(jnp.bfloat16)
+            ff1_scr[:, :] = (ff1_w[0].astype(jnp.float32)
+                             * w_scales[0, 2:3, 0:Dff]).astype(jnp.bfloat16)
+            ff2_scr[:, :] = (ff2_w[0].astype(jnp.float32)
+                             * w_scales[0, 3:4, 0:D]).astype(jnp.bfloat16)
+            W_qkv = lambda: qkv_scr[:, :]
+            W_out = lambda: out_scr[:, :]
+            W_ff1 = lambda: ff1_scr[:, :]
+            W_ff2 = lambda: ff2_scr[:, :]
+        else:
+            W_qkv = lambda: qkv_w[0]
+            W_out = lambda: out_w[0]
+            W_ff1 = lambda: ff1_w[0]
+            W_ff2 = lambda: ff2_w[0]
+
+        h32 = h_scr[:, :]                                     # (B, D)
+        hb = h32.astype(wdt)
+        qkv = jnp.dot(hb, W_qkv(), preferred_element_type=jnp.float32)
+        q = qkv[:, 0:HD]
+        k1 = qkv[:, HD:2 * HD]
+        v1 = qkv[:, 2 * HD:3 * HD]
+
+        # fresh-slot quantization for all rows at once
+        kabs = jnp.max(jnp.abs(k1), axis=1, keepdims=True)
+        ksc_new = jnp.maximum(kabs, 1e-6) * (1.0 / 127.0)
+        k1q = jnp.clip(jnp.round(k1 / ksc_new), -127.0, 127.0)
+        vabs = jnp.max(jnp.abs(v1), axis=1, keepdims=True)
+        vsc_new = jnp.maximum(vabs, 1e-6) * (1.0 / 127.0)
+        v1q = jnp.clip(jnp.round(v1 / vsc_new), -127.0, 127.0)
+
+        # single-row strided DMA writes into the aliased cache outputs
+        krow[:, 0, :] = k1q.astype(jnp.int8)
+        vrow[:, 0, :] = v1q.astype(jnp.int8)
+        ksrow[:, 0, :] = ksc_new
+        vsrow[:, 0, :] = vsc_new
+        w_dmas = [
+            pltpu.make_async_copy(krow, kt_o.at[li, :, pl.ds(p, 1), :],
+                                  wsems.at[0]),
+            pltpu.make_async_copy(vrow, vc_o.at[li, :, pl.ds(p, 1), :],
+                                  wsems.at[1]),
+            pltpu.make_async_copy(ksrow, ks_o.at[li, :, pl.ds(p, 1), :],
+                                  wsems.at[2]),
+            pltpu.make_async_copy(vsrow, vs_o.at[li, :, pl.ds(p, 1), :],
+                                  wsems.at[3]),
+        ]
+        for d in w_dmas:
+            d.start()
+
+        qu = q.astype(wdt) + u_ref[:, :]                      # (B, HD)
+        qv = q.astype(wdt) + v_ref[:, :]
+        rowhead = jax.lax.broadcasted_iota(jnp.int32, (RH, HD), 0) % H
+        colhead = jax.lax.broadcasted_iota(jnp.int32, (RH, HD), 1) // Dh
+        hm = rowhead == colhead
+        hm_w = hm.astype(wdt)
+        hm_h = hm[0:H, :].astype(jnp.float32)                 # (H, HD)
+
+        for g in range(G):
+            slot = g % 2
+            wait_in(g, slot)
+            lo = g * R
+            qu2 = _expand_rows(qu[lo:lo + R], H, HD) * hm_w   # (RH, HD)
+            qv2 = _expand_rows(qv[lo:lo + R], H, HD) * hm_w
+            sd = dot_t(wkr_mt[0], qv2)                        # (M+1, RH)
+            prod = qu2.astype(jnp.float32) * _expand_rows(
+                k1[lo:lo + R], H, HD)
+            selfac = dot_t(jnp.ones((1, HD), jnp.float32), prod)  # (1, RH)
+
+            for r in range(R):
+                kt_bf = kbuf[slot, r].astype(wdt)             # (M, HD)
+                ac_r = dot_t(kt_bf, qu2[r * H:(r + 1) * H, :]) \
+                    * ksbuf[slot, r]
+                sc_scr[0:M, pl.ds(r * H, H)] = ac_r
+            ac = sc_scr[0:M, 0:RH]                            # (M, RH)
+            bd = pltpu.roll(sd[0:M, :], p, 0)
+            score = (ac + bd) * scale
+            self_score = (selfac + sd[M:M + 1, :]) * scale    # (1, RH)
+            for r in range(R):
+                col = blocked[lo + r:lo + r + 1, :].reshape(M, 1)
+                sc_scr[0:M, pl.ds(r * H, H)] = jnp.where(
+                    col != 0, NEG_INF, score[:, r * H:(r + 1) * H])
+            score = sc_scr[0:M, 0:RH]
+            m = jnp.maximum(jnp.max(score, axis=0, keepdims=True), self_score)
+            e = jnp.exp(score - m)                            # (M, RH)
+            e_self = jnp.exp(self_score - m)                  # (1, RH)
+            denom = jnp.sum(e, axis=0, keepdims=True) + e_self
+
+            for r in range(R):
+                e_r = e[:, r * H:(r + 1) * H] * vsbuf[slot, r]  # (M, H)
+                pv = dot_s(e_r.astype(wdt), vbuf[slot, r].astype(wdt))
+                num = jnp.sum(pv * hm_h, axis=0, keepdims=True)   # (1, HD)
+                w_self = jnp.dot(e_self[:, r * H:(r + 1) * H], hm_h,
+                                 preferred_element_type=jnp.float32)
+                d_lane = jnp.dot(denom[:, r * H:(r + 1) * H], hm_h,
+                                 preferred_element_type=jnp.float32)
+                attn_scr[pl.ds(lo + r, 1), :] = \
+                    (num + w_self * v1[lo + r:lo + r + 1, :]) / d_lane
+            if g + 2 < G:
+                issue(g + 2, slot)
+
+        h2 = _block_tail(h32, attn_scr[:, :], hb.dtype, act,
+                         W_out(), W_ff1(), ff1_b[0], W_ff2(), ff2_b[0],
+                         ln1_g[0], ln1_b[0], ln2_g[0], ln2_b[0])
+        h_scr[:, :] = h2
+        h_out[:, :] = h2
+        # the row-write DMAs must land before the staging scratches are
+        # rewritten by the next cell
+        for d in w_dmas:
+            d.wait()
+
+    return kernel
+
+
+def fused_slab_allrows_core(
+    stacked: StackedTXL,
+    cfg,
+    h_in: jnp.ndarray,       # (B, D) fp32
+    wkr_mt: jnp.ndarray,     # (L, M+1, HD) bf16
+    kt: jnp.ndarray,         # (L, B, M, HD) int8 (slot-major)
+    ks: jnp.ndarray,         # (L, B, M, 1) fp32
+    vc: jnp.ndarray,         # (L, B, M, HD) int8
+    vs: jnp.ndarray,         # (L, B, M, 1) fp32
+    blocked: jnp.ndarray,    # (B, M) int32
+    ptr: jnp.ndarray,        # () int32
+    mem_len: int,
+    rows_per_cell: int = 8,  # KV streaming group size (not grid cells here)
+    weights_int8: bool = False,
+    w_scales: jnp.ndarray = None,
+    interpret: bool = False,
+):
+    """All-rows slab decode core. Returns (h_out, kt', ks', vc', vs').
+
+    Same contract and cache layout as `fused_slab_core` (score_mode='bf16',
+    no int4 packing); differs only in how the work maps onto the grid."""
+    L, D, Dff = cfg.n_layers, cfg.d_model, cfg.d_inner
+    H, Dh, M = cfg.n_heads, cfg.d_head, mem_len
+    HD = H * Dh
+    B = h_in.shape[0]
+    R = min(rows_per_cell, B)
+    assert B % R == 0 and M % 32 == 0
+    SMAX = max(3 * HD, D, Dff)
+    if w_scales is None:
+        if weights_int8:
+            raise ValueError(
+                "weights_int8=True requires w_scales (from "
+                "quantize_stacked_weights)")
+        w_scales = jnp.zeros((L, 8, SMAX), jnp.float32)
+
+    lspec = lambda shape: pl.BlockSpec(
+        (1, *shape), lambda i, s: (i, *([0] * len(shape))),
+        memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)
+
+    kernel = _make_slab_allrows_kernel(cfg, M, B, R, weights_int8)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L,),
+        in_specs=[
+            lspec((D, 3 * HD)), lspec((HD, D)),
+            lspec((D, Dff)), lspec((1, Dff)),
+            lspec((Dff, D)), lspec((1, D)),
+            lspec((1, D)), lspec((1, D)), lspec((1, D)), lspec((1, D)),
+            lspec((M + 1, HD)),
+            full(), full(),
+            lspec((8, SMAX)),
+            hbm(), hbm(), hbm(), hbm(),
+            full(), full(),
+        ],
+        out_specs=[full(), hbm(), hbm(), hbm(), hbm()],
+        scratch_shapes=[
+            pltpu.VMEM((B, D), jnp.float32),          # h_scr
+            pltpu.VMEM((M, R * H), jnp.float32),      # sc_scr
+            pltpu.VMEM((B, HD), jnp.float32),         # attn_scr
+            pltpu.VMEM((2, R, M, HD), jnp.int8),      # kbuf
+            pltpu.VMEM((2, R, M, HD), jnp.int8),      # vbuf
+            pltpu.VMEM((2, R, M, 1), jnp.float32),    # ksbuf
+            pltpu.VMEM((2, R, M, 1), jnp.float32),    # vsbuf
+            pltpu.VMEM((B, 1, HD), jnp.int8),         # krow
+            pltpu.VMEM((B, 1, HD), jnp.int8),         # vrow
+            pltpu.VMEM((B, 1, 1), jnp.float32),       # ksrow
+            pltpu.VMEM((B, 1, 1), jnp.float32),       # vsrow
+            pltpu.SemaphoreType.DMA((2, 4)),          # in_sems
+            pltpu.SemaphoreType.DMA((4,)),            # wsems
+        ]
+        + ([pltpu.VMEM((D, 3 * HD), jnp.bfloat16),
+            pltpu.VMEM((HD, D), jnp.bfloat16),
+            pltpu.VMEM((D, Dff), jnp.bfloat16),
+            pltpu.VMEM((Dff, D), jnp.bfloat16)] if weights_int8 else []),
+    )
+    h_out, kt2, ks2, vc2, vs2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct(kt.shape, kt.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ],
+        input_output_aliases={15: 1, 16: 2, 17: 3, 18: 4},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(jnp.reshape(ptr, (1,)).astype(jnp.int32),
+      stacked.qkv_w, stacked.out_w, stacked.ff1_w, stacked.ff1_b,
+      stacked.ff2_w, stacked.ff2_b,
+      stacked.ln1_g, stacked.ln1_b, stacked.ln2_g, stacked.ln2_b,
+      wkr_mt, stacked.u, stacked.v, w_scales, kt, ks, vc, vs, h_in, blocked)
+    return h_out, kt2, ks2, vc2, vs2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mem_len", "rows_per_cell",
+                                    "weights_int8", "interpret"),
+                   donate_argnums=(4, 5, 6, 7))
+def fused_slab_allrows_decode(
+    stacked: StackedTXL,
+    cfg,
+    h_in: jnp.ndarray,
+    wkr_mt: jnp.ndarray,
+    kt: jnp.ndarray,
+    ks: jnp.ndarray,
+    vc: jnp.ndarray,
+    vs: jnp.ndarray,
+    blocked: jnp.ndarray,
+    ptr: jnp.ndarray,
+    mem_len: int,
+    rows_per_cell: int = 8,
+    weights_int8: bool = False,
+    w_scales: jnp.ndarray = None,
+    interpret: bool = False,
+):
+    """Jitted wrapper (tests/standalone use)."""
+    return fused_slab_allrows_core(
+        stacked, cfg, h_in, wkr_mt, kt, ks, vc, vs, blocked,
+        jnp.reshape(ptr, ()), mem_len, rows_per_cell=rows_per_cell,
+        weights_int8=weights_int8, w_scales=w_scales, interpret=interpret)

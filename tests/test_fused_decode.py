@@ -490,3 +490,78 @@ def test_blocked_prefill_long_window_matches_xla():
     np.testing.assert_allclose(
         np.asarray(got_cache.k.astype(jnp.float32)),
         np.asarray(ref_cache.k.astype(jnp.float32)), atol=0.05)
+
+
+@pytest.mark.parametrize("weights_int8,R", [
+    (False, 8), (True, 8), (False, 16), (False, 4)])
+def test_slab_allrows_kernel_matches_ring(setup, weights_int8, R):
+    """All-rows slab kernel (grid (L,), manual KV-streaming DMA, single-row
+    cache-write DMA): logits within int8-cache noise of the fp reference;
+    ONLY the ring-pointer slot row may change in the cache buffers."""
+    from deepmusicgeneration_tpu.ops.fused_decode import (
+        fused_slab_allrows_decode, quantize_kv_slot_major,
+        quantize_stacked_weights)
+    cfg, params = setup
+    M = cfg.mem_len
+    L, H, Dh = cfg.n_layers, cfg.n_heads, cfg.d_head
+    HD = H * Dh
+    B = max(16, R)
+    rng = np.random.default_rng(11)
+    k = jnp.asarray(rng.normal(scale=0.5, size=(L, B, H, M, Dh)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(scale=0.5, size=(L, B, H, M, Dh)), jnp.bfloat16)
+    g_rows = []
+    for b in range(B):
+        g_row = np.arange(M) - M
+        g_row[:b] = txl.PAD_G
+        g_rows.append(g_row)
+    g = jnp.asarray(np.stack(g_rows), jnp.int32)
+    ptr = jnp.asarray(39, jnp.int32)
+    cache = txl.RingKVCache(k=k, v=v, g=g, ptr=ptr, g_cur=jnp.asarray(39, jnp.int32))
+    wkr = txl.precompute_wkr(params, cfg, M)
+    toks = jnp.asarray(rng.integers(12, 140, B), jnp.int32)
+    ref_logits, ref_cache = txl.decode_step_ring(
+        params, cfg, toks, jnp.zeros((B,), jnp.int32), cache, wkr)
+
+    stacked = stack_txl_layers(params)
+    h_in = params["embed"][toks].astype(jnp.float32)
+    dist = cache.g_cur - cache.g
+    blocked = ((dist < 1) | (dist > M)).astype(jnp.int32)
+    kt_s = k.transpose(0, 1, 3, 2, 4).reshape(L, B, M, HD)
+    vc_s = v.transpose(0, 1, 3, 2, 4).reshape(L, B, M, HD)
+    kq, ks, vq, vs = quantize_kv_slot_major(kt_s, vc_s)
+    kq0, vq0 = np.asarray(kq).copy(), np.asarray(vq).copy()
+    wkr_mt = wkr.transpose(0, 2, 1, 3).reshape(L, M + 1, HD)
+    w_scales = None
+    if weights_int8:
+        stacked, w_scales = quantize_stacked_weights(stacked)
+    h_out, kt2, ks2, vc2, vs2 = fused_slab_allrows_decode(
+        stacked, cfg, h_in, wkr_mt, kq, ks, vq, vs, blocked, ptr, M,
+        rows_per_cell=R, weights_int8=weights_int8,
+        w_scales=w_scales, interpret=True)
+    logits = h_out @ params["embed"].T.astype(jnp.float32) + params["head_b"]
+
+    ref = np.asarray(ref_logits)
+    got = np.asarray(logits)
+    atol = 0.5 if not weights_int8 else 1.0
+    np.testing.assert_allclose(got, ref, atol=atol, rtol=0.1)
+    agree = (np.argmax(got, -1) == np.argmax(ref, -1)).mean()
+    assert agree >= (0.9 if not weights_int8 else 0.8), f"agreement {agree}"
+
+    # the written slot dequantizes to the reference K/V
+    ref_k_slot = np.asarray(ref_cache.k[:, :, :, 39, :].astype(jnp.float32)) \
+        .reshape(L, B, HD)
+    got_k_slot = np.asarray(kt2[:, :, 39, :].astype(np.float32)) \
+        * np.asarray(ks2[:, :, 39, 0])[:, :, None]
+    np.testing.assert_allclose(got_k_slot, ref_k_slot, atol=0.05)
+    ref_v_slot = np.asarray(ref_cache.v[:, :, :, 39, :].astype(jnp.float32)) \
+        .reshape(L, B, HD)
+    got_v_slot = np.asarray(vc2[:, :, 39, :].astype(np.float32)) \
+        * np.asarray(vs2[:, :, 39, 0])[:, :, None]
+    np.testing.assert_allclose(got_v_slot, ref_v_slot, atol=0.05)
+
+    # single-row write contract: every slot EXCEPT 39 is untouched
+    others = np.r_[0:39, 40:M]
+    np.testing.assert_array_equal(np.asarray(kt2)[:, :, others, :],
+                                  kq0[:, :, others, :])
+    np.testing.assert_array_equal(np.asarray(vc2)[:, :, others, :],
+                                  vq0[:, :, others, :])
