@@ -214,7 +214,7 @@ def _kernel_traffic_args(kernel):
     else:
         kv_bits = 8
     mode = "slab" if (kernel or "").startswith("slab") else "pingpong"
-    w_bits = 8 if kernel in ("slab_w8", "slab4_w8") else 16
+    w_bits = 8 if kernel in ("slab_w8", "slab4_w8", "slab_ar_w8") else 16
     return kv_bits, mode, w_bits
 
 
@@ -232,7 +232,8 @@ def run_batched_bench(engine, cfg, vocab, sweep: bool):
     # what makes 16/32-row cells worth sweeping (docs/PERF.md)
     kernels = ((("multirow", None), ("multirow_int8", None), ("slab", None),
                 ("slab_int8", None), ("slab_w8", None),
-                ("slab4", 8), ("slab4", 16), ("slab4", 32))
+                ("slab4", 8), ("slab4", 16), ("slab4", 32),
+                ("slab_ar", None), ("slab_ar_w8", None), ("slab_ar", 16))
                if sweep else ((None, None),))  # None → engine auto-select
     by_kernel, rf_by_kernel = {}, {}
     for kernel, rpc in kernels:
