@@ -327,14 +327,24 @@ def decode_chunk_slab(
         idx, st = _sample_rows(logits, st, steps, rows, tables, settings)
         dist = cache.g_cur - cache.g
         blocked = ((dist < 1) | (dist > mem_len)).astype(jnp.int32)
-        h_out, kq, ksc, vq, vsc = fused_slab_core(
-            stacked, cfg, embed32[idx], wkr_mt,
-            cache.kq, cache.ksc, cache.vq, cache.vsc,
-            blocked, cache.ptr, mem_len,
-            rows_per_cell=settings.rows_per_cell,
-            score_mode=settings.score_mode,
-            weights_int8=settings.weights_int8, w_scales=w_scales,
-            interpret=interpret)
+        if settings.allrows:
+            from ..ops.fused_decode import fused_slab_allrows_core
+            h_out, kq, ksc, vq, vsc = fused_slab_allrows_core(
+                stacked, cfg, embed32[idx], wkr_mt,
+                cache.kq, cache.ksc, cache.vq, cache.vsc,
+                blocked, cache.ptr, mem_len,
+                rows_per_cell=settings.rows_per_cell,
+                weights_int8=settings.weights_int8, w_scales=w_scales,
+                interpret=interpret)
+        else:
+            h_out, kq, ksc, vq, vsc = fused_slab_core(
+                stacked, cfg, embed32[idx], wkr_mt,
+                cache.kq, cache.ksc, cache.vq, cache.vsc,
+                blocked, cache.ptr, mem_len,
+                rows_per_cell=settings.rows_per_cell,
+                score_mode=settings.score_mode,
+                weights_int8=settings.weights_int8, w_scales=w_scales,
+                interpret=interpret)
         logits = h_out @ embed32.T
         if head_b is not None:
             logits = logits + head_b
@@ -374,7 +384,9 @@ class ContinuousEngine:
                  interpret: bool = False):
         """``decode_kernel``: 'xla' (exact bf16 ring step), 'slab' (fused
         Pallas stack — slot-major int8 resident KV, ~1e-2 logit deltas,
-        eval-validated) or 'slab_w8' (slab + int8 weights). ``None`` = auto:
+        eval-validated), 'slab_w8' (slab + int8 weights), or
+        'slab_ar' / 'slab_ar_w8' (all-rows slab: one grid cell per layer,
+        manual-DMA KV streaming — see ops/fused_decode.py). ``None`` = auto:
         'slab' when the fused path applies (TPU, bf16 bias-free config,
         mem_len % 32 == 0), else 'xla'. ``interpret``: run the Pallas kernel
         in interpreter mode (CPU tests)."""
@@ -406,7 +418,8 @@ class ContinuousEngine:
         self.settings = SamplerSettings(
             temp_mode=temp_mode,
             slab=decode_kernel != "xla", rows_per_cell=rpc,
-            weights_int8=decode_kernel == "slab_w8")
+            weights_int8=decode_kernel in ("slab_w8", "slab_ar_w8"),
+            allrows=decode_kernel in ("slab_ar", "slab_ar_w8"))
         if decode_kernel == "xla":
             self.wkr = txl.precompute_wkr(params, cfg, self.mem_len)
         else:
@@ -414,7 +427,7 @@ class ContinuousEngine:
                                             quantize_stacked_weights)
             stacked = stack_txl_layers(params)
             self._w_scales = None
-            if decode_kernel == "slab_w8":
+            if self.settings.weights_int8:
                 stacked, self._w_scales = quantize_stacked_weights(stacked)
             self._stacked = stacked
             self._embed32 = params["embed"].astype(jnp.float32)

@@ -284,3 +284,18 @@ def test_numpy_integer_top_k(setup, vocab, prompts):
     a = top_k_top_p(logits, top_k=np.int64(5), top_p=0.9)
     b = top_k_top_p(logits, top_k=5, top_p=0.9)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_slab_ar_matches_slab_stream(slab_setup, vocab, prompts):
+    """The all-rows kernel shares the slab cache layout and quantization, so
+    a greedy stream decoded on 'slab_ar' matches 'slab' token-for-token on a
+    short horizon (same int8 rounding in both)."""
+    a = slab_fresh(slab_setup, vocab).generate(prompts[0], n_words=10,
+                                               greedy=True)
+    params, cfg = slab_setup
+    eng = ContinuousEngine(params, cfg, vocab, decode_kernel="slab_ar",
+                           n_slots=4, chunk=4, interpret=True)
+    b = eng.generate(prompts[0], n_words=10, greedy=True)
+    check_grammar(b, vocab, prev0=int(prompts[0][-1]))
+    n = min(len(a), len(b), 8)
+    np.testing.assert_array_equal(a[:n], b[:n])
