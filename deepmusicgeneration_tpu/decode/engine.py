@@ -463,8 +463,11 @@ class GenerationEngine:
         for this (batch, mem_len) — hardware-measured policy on v5e, 41M
         flagship:
 
-        - 8-row cells (B % 8 == 0): 'slab' — slot-major int8 KV, bf16
-          scores; 49k tok/s at B=64 vs 10.9k xla.
+        - 8-row cells (B % 8 == 0): 'slab_ar_w8' — one grid cell per LAYER
+          (weight matmuls over all B rows at once), int8 weights, KV
+          streamed by double-buffered DMA; 52.5k tok/s at B=64 vs 41.6k
+          'slab' vs 10.9k xla (B=8: 18.1k vs 16.1k, B=32: 42.0k vs 39.9k;
+          B=16 is the one tie point, 27.4k vs 28.5k).
         - small batches (B < 8): 'slab_w8' — decode is weight-DMA-bound
           there, int8 weights nearly halve per-step HBM bytes; 6.1k tok/s
           at B=1 vs 3.9k xla.
@@ -478,7 +481,7 @@ class GenerationEngine:
         mem_len = mem_len or self.cfg.mem_len
         fused_ok = self._fused_ok(mem_len)
         if fused_ok and batch % 8 == 0:
-            return "slab"
+            return "slab_ar_w8"
         if fused_ok and batch < 8:
             return "slab_w8"
         return "xla"

@@ -71,6 +71,18 @@ def _init_block(keys, cfg: MultitaskConfig) -> Dict:
 
 
 def init_multitask(rng: jax.Array, cfg: MultitaskConfig) -> Dict:
+    """One jitted dispatch — see `txl.init_txl` for why (eager per-leaf
+    `random.normal` costs a compile + tunnel roundtrip per array)."""
+    global _init_multitask_jit
+    if _init_multitask_jit is None:
+        _init_multitask_jit = jax.jit(_init_multitask_body, static_argnums=1)
+    return _init_multitask_jit(rng, cfg)
+
+
+_init_multitask_jit = None
+
+
+def _init_multitask_body(rng: jax.Array, cfg: MultitaskConfig) -> Dict:
     n_keys = 64 * (cfg.enc_layers + cfg.dec_layers) + 16
     keys = iter(jax.random.split(rng, n_keys))
     D = cfg.d_model

@@ -47,7 +47,22 @@ def _linear_init(rng, shape, std=0.02):
 
 def init_txl(rng: jax.Array, cfg: TXLConfig) -> Dict:
     """Parameter pytree; init mirrors fastai init_transformer (N(0, .02),
-    LayerNorm weight N(1, .02), zero biases)."""
+    LayerNorm weight N(1, .02), zero biases).
+
+    Jitted as ONE dispatch: eagerly, the ~150 small `random.normal` calls
+    each cost a compile + tunnel roundtrip on the remote-TPU platform
+    (measured 280 s for the 41M config; ~2 s jitted). Checkpoint loads
+    avoid even that via `jax.eval_shape` templates (`train/learner.py`)."""
+    global _init_txl_jit
+    if _init_txl_jit is None:
+        _init_txl_jit = jax.jit(_init_txl_body, static_argnums=1)
+    return _init_txl_jit(rng, cfg)
+
+
+_init_txl_jit = None
+
+
+def _init_txl_body(rng: jax.Array, cfg: TXLConfig) -> Dict:
     keys = iter(jax.random.split(rng, 16 + 16 * cfg.n_layers))
     H, Dh, D = cfg.n_heads, cfg.d_head, cfg.d_model
     params = {

@@ -1359,21 +1359,26 @@ def fused_multirow_decode(
 #   * runs the four weight matmuls (QKV / out / FF1 / FF2) ONCE per layer
 #     with ALL B rows — m=B instead of m=R, i.e. 8x fewer MXU weight-tile
 #     pumps at B=64/R=8,
-#   * streams the per-row KV panels from HBM (`pl.ANY` refs) in R-row
+#   * streams the per-row int8 K/V panels from HBM (`pl.ANY` refs) in R-row
 #     groups with double-buffered manual DMA (`pltpu.make_async_copy`); the
 #     BlockSpec pipeline cannot express this — a per-layer block would be
 #     ~50 MB. Score/PV math per group is identical to `_make_slab_kernel`,
-#   * writes the fresh KV slot as a single-row strided DMA straight into
-#     the aliased cache outputs — DMA, unlike vector stores through
-#     out_specs, has no 32-sublane tile granularity, so no band merge is
-#     needed and per-step cache write traffic drops to B·HD bytes/layer,
+#   * updates the fresh cache slot with a 32-sublane band merge done by
+#     DMA: old band in from the ANY ref, merge row `off`, band out to the
+#     aliased output. (A single-row write is not expressible: Mosaic
+#     memref slices must respect the (32, 128) int8 HBM tiling — verified
+#     by a compile error, not just the old comment.)
+#   * keeps the per-slot fp32 scale sidecars on the BlockSpec path — their
+#     (…, 1) lane-padded layout cannot be DMA-sliced at all ("Slice shape
+#     along dimension 3 must be aligned to tiling (128)"), but per-layer
+#     blocks are only 131 KB and the banded out_specs of the original slab
+#     kernel handle the slot write,
 #   * leaves L=8 grid cells per step total (8x less fixed cell overhead).
 #
-# Benign race, by design: the slot-p row write DMA overlaps the streaming
-# score reads of the same layer's panels. Only row p changes, and `blocked`
-# masks slot p for every stream (its g-entry is M steps stale → dist > M),
-# so scores never consume the racing row. f32 scale tearing cannot produce
-# non-finite values (the exponent byte is copied whole from one side).
+# Benign race, by design: the band-write DMA overlaps later groups'
+# streaming score reads of the same layer. Only row p changes, and
+# `blocked` masks slot p for every stream (its g-entry is M steps stale →
+# dist > M), so scores never consume the racing row.
 #
 # score path is bf16-only (the slab sweep measured int8 MXU scores at +1%);
 # weights bf16 or int8 (upcast into VMEM scratch once per cell — each cell
@@ -1388,6 +1393,7 @@ def _make_slab_allrows_kernel(cfg, M: int, B: int, R: int,
     G = B // R
     scale = 1.0 / math.sqrt(Dh) if cfg.scale else 1.0
     act = cfg.act
+    SLAB = 32
 
     dot_t = lambda a, b: jax.lax.dot_general(  # (X,C),(Y,C)→(X,Y)
         a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -1398,28 +1404,31 @@ def _make_slab_allrows_kernel(cfg, M: int, B: int, R: int,
                qkv_w, out_w, ff1_w, ff1_b, ff2_w, ff2_b,
                ln1_g, ln1_b, ln2_g, ln2_b,
                wkr_mt, u_ref, v_ref, w_scales,
-               kt, ks, vc, vs,                  # pl.ANY — full HBM arrays
-               h_in, blocked,
-               h_out, kt_o, ks_o, vc_o, vs_o,   # cache outs aliased, pl.ANY
+               kt, vc,                          # pl.ANY int8 (L, B, M, HD)
+               ks, vs,                          # VMEM blocks (1, B, M) f32
+               ks_t, vs_t,                      # VMEM blocks (1, M, B) f32
+               h_in, blocked_t,                 # blocked_t: (M, B) f32
+               h_out,
+               kt_o, vc_o,                      # pl.ANY, aliased to kt/vc
+               ks_o, vs_o,                      # VMEM blocks (1, B, M) f32
                h_scr, sc_scr, attn_scr,
-               kbuf, vbuf, ksbuf, vsbuf,
-               krow, vrow, ksrow, vsrow,
-               in_sems, wsems,
+               kbuf, vbuf, kband, vband,
+               in_sems, band_sems,
                qkv_scr=None, out_scr=None, ff1_scr=None, ff2_scr=None):
         li = pl.program_id(0)
         p = s_ref[0]
+        tile = (p // SLAB) * SLAB
+        off = p - tile
         wdt = jnp.bfloat16 if weights_int8 else qkv_w.dtype
 
         def issue(g, slot):
-            for ref, buf, j in ((kt, kbuf, 0), (ks, ksbuf, 1),
-                                (vc, vbuf, 2), (vs, vsbuf, 3)):
+            for ref, buf, j in ((kt, kbuf, 0), (vc, vbuf, 1)):
                 pltpu.make_async_copy(ref.at[li, pl.ds(g * R, R)],
                                       buf.at[slot],
                                       in_sems.at[slot, j]).start()
 
         def wait_in(g, slot):
-            for ref, buf, j in ((kt, kbuf, 0), (ks, ksbuf, 1),
-                                (vc, vbuf, 2), (vs, vsbuf, 3)):
+            for ref, buf, j in ((kt, kbuf, 0), (vc, vbuf, 1)):
                 pltpu.make_async_copy(ref.at[li, pl.ds(g * R, R)],
                                       buf.at[slot],
                                       in_sems.at[slot, j]).wait()
@@ -1427,6 +1436,16 @@ def _make_slab_allrows_kernel(cfg, M: int, B: int, R: int,
         issue(0, 0)
         if G > 1:
             issue(1, 1)
+        # old 32-slot bands for the cache-slot merge (reads of the SAME
+        # bytes the streaming score DMAs read — all old data)
+        band_in = [
+            pltpu.make_async_copy(kt.at[li, :, pl.ds(tile, SLAB), :],
+                                  kband, band_sems.at[0]),
+            pltpu.make_async_copy(vc.at[li, :, pl.ds(tile, SLAB), :],
+                                  vband, band_sems.at[1]),
+        ]
+        for d in band_in:
+            d.start()
 
         @pl.when(li == 0)
         def _init():
@@ -1466,22 +1485,30 @@ def _make_slab_allrows_kernel(cfg, M: int, B: int, R: int,
         vsc_new = jnp.maximum(vabs, 1e-6) * (1.0 / 127.0)
         v1q = jnp.clip(jnp.round(v1 / vsc_new), -127.0, 127.0)
 
-        # single-row strided DMA writes into the aliased cache outputs
-        krow[:, 0, :] = k1q.astype(jnp.int8)
-        vrow[:, 0, :] = v1q.astype(jnp.int8)
-        ksrow[:, 0, :] = ksc_new
-        vsrow[:, 0, :] = vsc_new
-        w_dmas = [
-            pltpu.make_async_copy(krow, kt_o.at[li, :, pl.ds(p, 1), :],
-                                  wsems.at[0]),
-            pltpu.make_async_copy(vrow, vc_o.at[li, :, pl.ds(p, 1), :],
-                                  wsems.at[1]),
-            pltpu.make_async_copy(ksrow, ks_o.at[li, :, pl.ds(p, 1), :],
-                                  wsems.at[2]),
-            pltpu.make_async_copy(vsrow, vs_o.at[li, :, pl.ds(p, 1), :],
-                                  wsems.at[3]),
+        # scale slot write: whole (B, M) plane with a lane select — the
+        # scales live DENSE as (L, B, M) here; a (…, 1)-shaped block would
+        # be lane-padded x128 in VMEM (16 MB/layer, measured VMEM OOM)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
+        ks_o[0] = jnp.where(lane == p, ksc_new, ks[0])
+        vs_o[0] = jnp.where(lane == p, vsc_new, vs[0])
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (B, SLAB, 1), 1)
+
+        # K/V slot write: merge row `off` into the old band, DMA back out
+        for d in band_in:
+            d.wait()
+        kband[:, :, :] = jnp.where(rowi == off,
+                                   k1q.reshape(B, 1, HD).astype(jnp.int8),
+                                   kband[:, :, :])
+        vband[:, :, :] = jnp.where(rowi == off,
+                                   v1q.reshape(B, 1, HD).astype(jnp.int8),
+                                   vband[:, :, :])
+        band_out = [
+            pltpu.make_async_copy(kband, kt_o.at[li, :, pl.ds(tile, SLAB), :],
+                                  band_sems.at[2]),
+            pltpu.make_async_copy(vband, vc_o.at[li, :, pl.ds(tile, SLAB), :],
+                                  band_sems.at[3]),
         ]
-        for d in w_dmas:
+        for d in band_out:
             d.start()
 
         qu = q.astype(wdt) + u_ref[:, :]                      # (B, HD)
@@ -1503,27 +1530,38 @@ def _make_slab_allrows_kernel(cfg, M: int, B: int, R: int,
                 k1[lo:lo + R], H, HD)
             selfac = dot_t(jnp.ones((1, HD), jnp.float32), prod)  # (1, RH)
 
+            # per-group scale/mask panels via ONE tiny matmul each: a
+            # per-row (1, M) -> (M, 1) reshape is a lane<->sublane relayout
+            # and 3 of them per row dominated the group time; instead the
+            # static 0/1 expander E_g maps batch column b=lo+j//H to score
+            # column j, so (M, B) x (B, RH) gathers+replicates in the MXU
+            bi = jax.lax.broadcasted_iota(jnp.int32, (B, RH), 0)
+            ji = jax.lax.broadcasted_iota(jnp.int32, (B, RH), 1)
+            e_g = (bi == lo + ji // H).astype(jnp.float32)    # (B, RH)
+            ks_mat = jnp.dot(ks_t[0], e_g,
+                             preferred_element_type=jnp.float32)  # (M, RH)
+            vs_mat = jnp.dot(vs_t[0], e_g,
+                             preferred_element_type=jnp.float32)
+            blk = jnp.dot(blocked_t[:, :], e_g,
+                          preferred_element_type=jnp.float32)
+
             for r in range(R):
                 kt_bf = kbuf[slot, r].astype(wdt)             # (M, HD)
-                ac_r = dot_t(kt_bf, qu2[r * H:(r + 1) * H, :]) \
-                    * ksbuf[slot, r]
-                sc_scr[0:M, pl.ds(r * H, H)] = ac_r
-            ac = sc_scr[0:M, 0:RH]                            # (M, RH)
+                sc_scr[0:M, pl.ds(r * H, H)] = \
+                    dot_t(kt_bf, qu2[r * H:(r + 1) * H, :])
+            ac = sc_scr[0:M, 0:RH] * ks_mat                   # (M, RH)
             bd = pltpu.roll(sd[0:M, :], p, 0)
             score = (ac + bd) * scale
             self_score = (selfac + sd[M:M + 1, :]) * scale    # (1, RH)
-            for r in range(R):
-                col = blocked[lo + r:lo + r + 1, :].reshape(M, 1)
-                sc_scr[0:M, pl.ds(r * H, H)] = jnp.where(
-                    col != 0, NEG_INF, score[:, r * H:(r + 1) * H])
-            score = sc_scr[0:M, 0:RH]
+            score = jnp.where(blk > 0.5, NEG_INF, score)
             m = jnp.maximum(jnp.max(score, axis=0, keepdims=True), self_score)
-            e = jnp.exp(score - m)                            # (M, RH)
+            e_raw = jnp.exp(score - m)                        # (M, RH)
             e_self = jnp.exp(self_score - m)                  # (1, RH)
-            denom = jnp.sum(e, axis=0, keepdims=True) + e_self
+            denom = jnp.sum(e_raw, axis=0, keepdims=True) + e_self
+            e = e_raw * vs_mat                                # V-scaled
 
             for r in range(R):
-                e_r = e[:, r * H:(r + 1) * H] * vsbuf[slot, r]  # (M, H)
+                e_r = e[:, r * H:(r + 1) * H]                 # (M, H)
                 pv = dot_s(e_r.astype(wdt), vbuf[slot, r].astype(wdt))
                 num = jnp.sum(pv * hm_h, axis=0, keepdims=True)   # (1, HD)
                 w_self = jnp.dot(e_self[:, r * H:(r + 1) * H], hm_h,
@@ -1540,9 +1578,9 @@ def _make_slab_allrows_kernel(cfg, M: int, B: int, R: int,
                          ln1_g[0], ln1_b[0], ln2_g[0], ln2_b[0])
         h_scr[:, :] = h2
         h_out[:, :] = h2
-        # the row-write DMAs must land before the staging scratches are
+        # the band-write DMAs must land before the band scratches are
         # rewritten by the next cell
-        for d in w_dmas:
+        for d in band_out:
             d.wait()
 
     return kernel
@@ -1574,7 +1612,8 @@ def fused_slab_allrows_core(
     HD = H * Dh
     B = h_in.shape[0]
     R = min(rows_per_cell, B)
-    assert B % R == 0 and M % 32 == 0
+    SLAB = 32
+    assert B % R == 0 and M % SLAB == 0
     SMAX = max(3 * HD, D, Dff)
     if w_scales is None:
         if weights_int8:
@@ -1588,7 +1627,6 @@ def fused_slab_allrows_core(
         memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)
-
     kernel = _make_slab_allrows_kernel(cfg, M, B, R, weights_int8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1601,39 +1639,50 @@ def fused_slab_allrows_core(
             lspec((M + 1, HD)),
             full(), full(),
             lspec((8, SMAX)),
-            hbm(), hbm(), hbm(), hbm(),
+            hbm(), hbm(),                     # kt, vc (streamed)
+            lspec((B, M)), lspec((B, M)),     # ks, vs (dense planes)
+            lspec((M, B)), lspec((M, B)),     # ks_t, vs_t (read layout)
             full(), full(),
         ],
-        out_specs=[full(), hbm(), hbm(), hbm(), hbm()],
+        out_specs=[full(), hbm(), hbm(),
+                   lspec((B, M)), lspec((B, M))],
         scratch_shapes=[
             pltpu.VMEM((B, D), jnp.float32),          # h_scr
             pltpu.VMEM((M, R * H), jnp.float32),      # sc_scr
             pltpu.VMEM((B, HD), jnp.float32),         # attn_scr
             pltpu.VMEM((2, R, M, HD), jnp.int8),      # kbuf
             pltpu.VMEM((2, R, M, HD), jnp.int8),      # vbuf
-            pltpu.VMEM((2, R, M, 1), jnp.float32),    # ksbuf
-            pltpu.VMEM((2, R, M, 1), jnp.float32),    # vsbuf
-            pltpu.VMEM((B, 1, HD), jnp.int8),         # krow
-            pltpu.VMEM((B, 1, HD), jnp.int8),         # vrow
-            pltpu.VMEM((B, 1, 1), jnp.float32),       # ksrow
-            pltpu.VMEM((B, 1, 1), jnp.float32),       # vsrow
-            pltpu.SemaphoreType.DMA((2, 4)),          # in_sems
-            pltpu.SemaphoreType.DMA((4,)),            # wsems
+            pltpu.VMEM((B, SLAB, HD), jnp.int8),      # kband
+            pltpu.VMEM((B, SLAB, HD), jnp.int8),      # vband
+            pltpu.SemaphoreType.DMA((2, 2)),          # in_sems
+            pltpu.SemaphoreType.DMA((4,)),            # band_sems
         ]
         + ([pltpu.VMEM((D, 3 * HD), jnp.bfloat16),
             pltpu.VMEM((HD, D), jnp.bfloat16),
             pltpu.VMEM((D, Dff), jnp.bfloat16),
             pltpu.VMEM((Dff, D), jnp.bfloat16)] if weights_int8 else []),
     )
-    h_out, kt2, ks2, vc2, vs2 = pl.pallas_call(
+    # scales enter/leave as dense (L, B, M) — a free reshape of the
+    # engine's (L, B, M, 1) sidecars that avoids x128 lane padding; the
+    # kernel additionally reads (M, B)-transposed copies (XLA transpose,
+    # ~1 MB/step) so per-slot scales are native COLUMNS in the score layout
+    ks3 = jnp.reshape(ks, (L, B, M))
+    vs3 = jnp.reshape(vs, (L, B, M))
+    ks_t = jnp.transpose(ks3, (0, 2, 1))
+    vs_t = jnp.transpose(vs3, (0, 2, 1))
+    blocked_t = jnp.transpose(blocked.astype(jnp.float32))
+    # arg order: ptr(0) weights(1-10) wkr(11) u(12) v(13) w_scales(14)
+    # kt(15) vc(16) ks(17) vs(18) ks_t(19) vs_t(20) h_in(21) blocked_t(22);
+    # outs: h(0) kt(1) vc(2) ks(3) vs(4)
+    h_out, kt2, vc2, ks2, vs2 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, D), jnp.float32),
             jax.ShapeDtypeStruct(kt.shape, kt.dtype),
-            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
             jax.ShapeDtypeStruct(vc.shape, vc.dtype),
-            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+            jax.ShapeDtypeStruct(ks3.shape, ks3.dtype),
+            jax.ShapeDtypeStruct(vs3.shape, vs3.dtype),
         ],
         input_output_aliases={15: 1, 16: 2, 17: 3, 18: 4},
         interpret=interpret,
@@ -1644,8 +1693,10 @@ def fused_slab_allrows_core(
       stacked.qkv_w, stacked.out_w, stacked.ff1_w, stacked.ff1_b,
       stacked.ff2_w, stacked.ff2_b,
       stacked.ln1_g, stacked.ln1_b, stacked.ln2_g, stacked.ln2_b,
-      wkr_mt, stacked.u, stacked.v, w_scales, kt, ks, vc, vs, h_in, blocked)
-    return h_out, kt2, ks2, vc2, vs2
+      wkr_mt, stacked.u, stacked.v, w_scales, kt, vc, ks3, vs3,
+      ks_t, vs_t, h_in, blocked_t)
+    return (h_out, kt2, jnp.reshape(ks2, ks.shape), vc2,
+            jnp.reshape(vs2, vs.shape))
 
 
 @functools.partial(jax.jit,

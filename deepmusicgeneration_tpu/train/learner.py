@@ -63,7 +63,11 @@ class MusicLearner:
             manifest = json.load(f)
         cfg = TXLConfig.from_dict(manifest["config"])
         vocab = MusicVocab.from_layout(manifest.get("vocab_layout", "genre"))
-        template = txl.init_txl(jax.random.PRNGKey(0), cfg)
+        # shapes-only template: eval_shape traces the init without running
+        # it (a real init is a device dispatch; on the tunneled TPU that
+        # cost 160-280 s per checkpoint load)
+        template = jax.eval_shape(lambda r: txl.init_txl(r, cfg),
+                                  jax.random.PRNGKey(0))
         params, _, cfg, vocab, _ = load_checkpoint(path, template_params=template)
         return cls(cfg, vocab, params=params)
 
@@ -274,7 +278,9 @@ class MultitaskLearner:
             manifest = json.load(f)
         cfg = MultitaskConfig.from_dict(manifest["config"])
         vocab = MusicVocab.from_layout(manifest.get("vocab_layout", "genre"))
-        template = mt.init_multitask(jax.random.PRNGKey(0), cfg)
+        # shapes-only template (see MusicLearner.load)
+        template = jax.eval_shape(lambda r: mt.init_multitask(r, cfg),
+                                  jax.random.PRNGKey(0))
         params, _, cfg, vocab, _ = load_checkpoint(path, template_params=template)
         return cls(cfg, vocab, params=params)
 
