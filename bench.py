@@ -407,13 +407,24 @@ def run_multitask_bench():
     log(f"s2s harmonize: 1024 tokens in {s2s_dt:.2f}s → {1024/s2s_dt:.1f} tok/s")
     bank("s2s", s2s_decode_tokens_per_sec_85m=round(1024 / s2s_dt, 1))
     if budget_left() > 60:
-        s2s_predict_from_midi(learner, "/root/reference/Never_Gonna_Let_You_Go.mid",
-                              n_words=128, seed_len=16, seed=0)  # compile+run
-        t0 = time.time()
-        s2s_predict_from_midi(learner, "/root/reference/Never_Gonna_Let_You_Go.mid",
-                              n_words=128, seed_len=16, seed=1)
-        dt = time.time() - t0
-        log(f"s2s harmonize (short call): 128 tokens in {dt:.2f}s → {128/dt:.1f} tok/s")
+        # steady-state serving latency: the first 1-2 warm calls still pay
+        # one-off tunnel/fetch warmup (measured 108 → 65 → 54 ms on an
+        # otherwise-identical call); 2 warmups then median-of-3 is the
+        # honest repeatable figure for an interactive UI call
+        for w in range(2):
+            s2s_predict_from_midi(learner,
+                                  "/root/reference/Never_Gonna_Let_You_Go.mid",
+                                  n_words=128, seed_len=16, seed=w)
+        dts = []
+        for w in range(3):
+            t0 = time.time()
+            s2s_predict_from_midi(learner,
+                                  "/root/reference/Never_Gonna_Let_You_Go.mid",
+                                  n_words=128, seed_len=16, seed=2 + w)
+            dts.append(time.time() - t0)
+        dt = sorted(dts)[1]
+        log(f"s2s harmonize (short call): 128 tokens in {dt:.3f}s "
+            f"(runs {[f'{d:.3f}' for d in dts]}) → {128/dt:.1f} tok/s")
         bank("s2s_short", s2s_short128_tokens_per_sec_85m=round(128 / dt, 1))
 
 
