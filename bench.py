@@ -41,8 +41,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_cpu_baseline.json")
+# Committed (round-5): a zeroed round must at least surface the last complete
+# TPU run, clearly labeled non-live — gitignoring this file made the round-4
+# budget_exceeded artifact carry no history at all.
 LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              ".bench_last_good.json")
+                              "docs", "bench_last_good.json")
 
 N_WORDS = 1024
 CFG_KEY = "txl41m-mem512-n1024-v2"
@@ -126,7 +129,99 @@ def budget_left() -> float:
     return BUDGET_S - (time.time() - T_START)
 
 
+_STAGE_THREADS = []
+
+
+def run_staged(name: str, fn, deadline_s: float) -> bool:
+    """Run a measure-and-bank closure in a worker thread with a hard deadline.
+
+    The axon tunnel's first warm call of a big executable is heavy-tailed
+    (measured 75 s → >540 s on a WARM persistent cache, docs/PERF.md
+    "executable warm-up anatomy"); round 4 lost its whole 600 s budget inside
+    one such call. Here the closure does its own ``bank()`` when it completes,
+    so a stuck warm-up degrades ONE stage: the main thread logs progress,
+    gives up at ``deadline_s`` and moves to the next stage, and if the late
+    call eventually lands before the watchdog emits, its bank still counts.
+
+    Returns True when the stage finished within the deadline.
+    """
+    box = {}
+    done = threading.Event()
+
+    def work():
+        try:
+            fn()
+        except Exception as e:
+            box["err"] = e
+        done.set()
+
+    deadline_s = min(deadline_s, max(budget_left() - 15, 5))
+    log(f"stage {name}: start (deadline {deadline_s:.0f}s)")
+    t0 = time.time()
+    th = threading.Thread(target=work, daemon=True, name=f"bench-{name}")
+    th.start()
+    _STAGE_THREADS.append((name, th))
+    next_log = 15.0
+    while not done.wait(timeout=1.0):
+        el = time.time() - t0
+        if el >= deadline_s:
+            log(f"stage {name}: DEADLINE after {el:.0f}s — moving on "
+                f"(will still bank if it lands before the budget)")
+            return False
+        if el >= next_log:
+            log(f"stage {name}: still running ({el:.0f}s)...")
+            next_log += 15.0 if next_log < 60 else 60.0
+    if "err" in box:
+        log(f"stage {name}: FAILED after {time.time()-t0:.1f}s: {box['err']!r}")
+        return False
+    log(f"stage {name}: done in {time.time()-t0:.1f}s")
+    return True
+
+
 # ------------------------------------------------------------ measurements
+
+def ignite_tunnel_async() -> threading.Thread:
+    """Pay the per-process tunnel toll on a throwaway toy program, in a
+    background thread, while the main thread banks host-only stages.
+
+    Measured anatomy (docs/PERF.md "executable warm-up anatomy",
+    docs/probe_warmup.py): the axon tunnel charges a heavy-tailed
+    once-per-process cost — 33/40/48/183/410 s observed on otherwise
+    identical runs — on the FIRST dispatch of a nontrivial executable,
+    regardless of the persistent compile cache (hits included), of program
+    size (a 2L/d64 toy pays the same as the 41M flagship), or of earlier
+    processes having run the same program. Trivial programs (matmul chains,
+    plain scans) do NOT trigger it. Once paid, every other executable in the
+    process warms in ~2-3 s. So: trigger it here on a 2-layer toy decode
+    whose compile is seconds, and the real stages ride the paid toll.
+    """
+    def work():
+        t0 = time.time()
+        try:
+            import jax
+            import numpy as np
+            from deepmusicgeneration_tpu.decode.engine import GenerationEngine
+            from deepmusicgeneration_tpu.models import txl
+            from deepmusicgeneration_tpu.models.config import small_test_config
+            from deepmusicgeneration_tpu.vocab import MusicVocab
+
+            vocab = MusicVocab.create()
+            tcfg = small_test_config().replace(dtype="bfloat16")
+            eng = GenerationEngine(txl.init_txl(jax.random.PRNGKey(0), tcfg),
+                                   tcfg, vocab)
+            eng.generate(np.array([0, 4, 140, 8, 147, 8], np.int64),
+                         n_words=16, min_bars=1_000_000, seed=0,
+                         decode_kernel="xla")
+            toll = time.time() - t0
+            log(f"igniter: tunnel toll paid in {toll:.1f}s (toy decode)")
+            bank("ignite", tunnel_toll_s=round(toll, 1))
+        except Exception as e:
+            log(f"igniter failed after {time.time()-t0:.1f}s: {e!r}")
+
+    th = threading.Thread(target=work, daemon=True, name="bench-ignite")
+    th.start()
+    return th
+
 
 def _flagship():
     import jax
@@ -150,6 +245,9 @@ def measure_single_stream(engine, seed, kernel, n_words=N_WORDS):
     gen = lambda s: engine.generate(
         seed, n_words=n_words, temperatures=(1.8, 1.8, 1.0), min_bars=1_000_000,
         top_k=30, top_p=0.65, seed=s, decode_kernel=kernel)
+    log(f"decode [{kernel or 'auto'}] n={n_words}: warming executable "
+        f"(compile-cache hit expected; tunnel program-load is the "
+        f"heavy-tailed part)...")
     t0 = time.time()
     out = gen(0)                                  # compile (cached) + warm run
     compile_s = time.time() - t0
@@ -218,16 +316,28 @@ def _kernel_traffic_args(kernel):
     return kv_bits, mode, w_bits
 
 
-def run_batched_bench(engine, cfg, vocab, sweep: bool):
-    """Batched streaming: 64 prompts tokenized + decoded at once."""
+def run_tokenize_bench(vocab, batch=64):
+    """MIDI→token encoding throughput. Pure host work — no TPU dispatch —
+    so it runs (and banks) FIRST: even a fully stalled tunnel leaves the
+    round with a real measurement. Returns the encoded seeds for the batched
+    decode stage."""
     from deepmusicgeneration_tpu.codec.item import MusicItem
-    batch, n_words = 64, 256
     t0 = time.time()
     seeds = [MusicItem.from_file(fp, vocab, genre="electronic").trim_to_beat(32).remove_eos().data
              for fp in ["/root/reference/fur_elise.mid",
                         "/root/reference/Undertale_-_Megalovania.mid"] * (batch // 2)]
     tok_time = time.time() - t0
+    log(f"tokenize: {batch} MIDI files → tokens in {tok_time:.2f}s "
+        f"({batch/tok_time:.0f} files/s, host-only)")
     bank("tokenize", midi_files_encoded_per_sec=round(batch / tok_time, 2))
+    return seeds
+
+
+def run_batched_bench(engine, cfg, vocab, sweep: bool, seeds=None):
+    """Batched streaming: 64 prompts tokenized + decoded at once."""
+    batch, n_words = 64, 256
+    if seeds is None:
+        seeds = run_tokenize_bench(vocab, batch)
     # (kernel, rows_per_cell): int4-packed KV halves per-cell DMA, which is
     # what makes 16/32-row cells worth sweeping (docs/PERF.md)
     kernels = ((("multirow", None), ("multirow_int8", None), ("slab", None),
@@ -409,9 +519,10 @@ def run_multitask_bench():
     if budget_left() > 60:
         # steady-state serving latency: the first 1-2 warm calls still pay
         # one-off tunnel/fetch warmup (measured 108 → 65 → 54 ms on an
-        # otherwise-identical call); 2 warmups then median-of-3 is the
-        # honest repeatable figure for an interactive UI call
-        for w in range(2):
+        # otherwise-identical call); 3 warmups then median-of-3 is the
+        # honest repeatable figure for an interactive UI call (and matches
+        # the PERF.md methodology text)
+        for w in range(3):
             s2s_predict_from_midi(learner,
                                   "/root/reference/Never_Gonna_Let_You_Go.mid",
                                   n_words=128, seed_len=16, seed=w)
@@ -423,8 +534,9 @@ def run_multitask_bench():
                                   n_words=128, seed_len=16, seed=2 + w)
             dts.append(time.time() - t0)
         dt = sorted(dts)[1]
+        runs = ", ".join(f"{d:.3f}" for d in dts)
         log(f"s2s harmonize (short call): 128 tokens in {dt:.3f}s "
-            f"(runs {[f'{d:.3f}' for d in dts]}) → {128/dt:.1f} tok/s")
+            f"(runs {runs}) → {128/dt:.1f} tok/s")
         bank("s2s_short", s2s_short128_tokens_per_sec_85m=round(128 / dt, 1))
 
 
@@ -468,7 +580,11 @@ def run_train_bench():
 
     # XLA score path first (proven, cheap compile); then the Pallas
     # fwd+bwd flash attention (ops/flash_train.py) if budget remains.
+    log("train: compiling+warming the XLA-score train step "
+        "(fwd+bwd, biggest single-compile in the bench)...")
     dt = measure(False)
+    log(f"train: xla step measured ({1000*dt/n_steps:.0f} ms/step); "
+        f"flash next" if budget_left() > 120 else "train: xla step measured")
     if budget_left() > 120:
         try:
             dt_flash = measure(None)             # auto: flash on TPU
@@ -636,71 +752,94 @@ def main():
         if base > 0:
             bank("cpu_committed", cpu_baseline_tps=round(base, 2))
 
-    # tiny dispatch to absorb any tunnel stall before the real measurements
+    # tiny dispatch to absorb any tunnel CONNECTION stall up front (distinct
+    # from the per-executable toll the igniter handles below)
     t0 = time.time()
     jax.block_until_ready(jax.numpy.zeros((8, 128)) + 1.0)
     log(f"first dispatch: {time.time()-t0:.2f}s")
 
-    engine, cfg, vocab, seed = _flagship()
+    # start paying the once-per-process tunnel toll NOW, in the background...
+    igniter = ignite_tunnel_async() if platform != "cpu" else None
 
-    # Stage 1 — bank the proven exact path first.
+    # ...while HOST-ONLY measurements bank first: these need no TPU dispatch,
+    # so even a tunnel that stalls for the whole budget leaves the round with
+    # banked numbers (round-4 fix: the old ordering banked nothing before the
+    # first — heavy-tailed — warm call resolved).
+    from deepmusicgeneration_tpu.vocab import MusicVocab
+    vocab = MusicVocab.create()
     try:
+        batch_seeds = run_tokenize_bench(vocab)
+    except Exception as e:
+        log("tokenize bench failed:", e)
+        batch_seeds = None
+
+    t0 = time.time()
+    engine, cfg, vocab, seed = _flagship()
+    log(f"flagship engine built (params on device): {time.time()-t0:.1f}s")
+
+    # give the igniter up to ~half the budget before dispatching real
+    # stages: their first calls would only queue behind the toll anyway,
+    # and this keeps every stage's timing attributable
+    if igniter is not None:
+        t0 = time.time()
+        while igniter.is_alive() and budget_left() > 0.45 * BUDGET_S:
+            igniter.join(timeout=5.0)
+            if igniter.is_alive() and (time.time() - t0) % 15 < 5:
+                log(f"waiting on igniter toll ({time.time()-t0:.0f}s)...")
+        if igniter.is_alive():
+            log("igniter still unpaid at half budget — proceeding; stages "
+                "will queue behind it and bank late")
+
+    # Stage 1 — the headline exact path (n=1024). This is deliberately the
+    # FIRST device program: the warm-up tail is paid per *program the tunnel
+    # server has never executed* (docs/PERF.md "executable warm-up anatomy"),
+    # and a 600 s budget affords roughly one cold draw from its 75→550 s
+    # distribution — spend it on the executable that banks the primary
+    # metric. run_staged keeps the call in a worker thread: if the draw is
+    # slow the main thread moves on at the deadline and this stage still
+    # banks whenever it lands before the watchdog.
+    def full_xla():
         tps, dt = measure_single_stream(engine, seed, "xla")
         bank("single:xla", primary_tps=tps, single_stream_xla_tps=round(tps, 1),
              p50_latency_s_1024_tokens=round(dt, 3))
-    except Exception as e:
-        log("xla single-stream failed:", e)
+    run_staged("single:xla", full_xla, 0.55 * BUDGET_S)
 
     # Stage 2 — the fast int8-weight kernel (auto pick at B=1 on TPU).
     if platform != "cpu" and budget_left() > 90:
-        try:
+        def auto_single():
             tps, dt = measure_single_stream(engine, seed, None)
             bank("single:auto", primary_tps=tps,
                  single_stream_auto_tps=round(tps, 1),
                  p50_latency_s_1024_tokens=min(
                      round(dt, 3),
                      RESULT["detail"].get("p50_latency_s_1024_tokens", 1e9)))
-        except Exception as e:
-            log("auto single-stream failed:", e)
+        run_staged("single:auto", auto_single, 0.4 * BUDGET_S)
 
     if platform != "cpu":
         if budget_left() > 120:
-            try:
-                run_batched_bench(engine, cfg, vocab,
-                                  sweep=os.environ.get("BENCH_SWEEP") == "1")
-            except Exception as e:
-                log("batched bench failed:", e)
+            run_staged("batched",
+                       lambda: run_batched_bench(
+                           engine, cfg, vocab,
+                           sweep=os.environ.get("BENCH_SWEEP") == "1",
+                           seeds=batch_seeds),
+                       0.5 * BUDGET_S)
         if budget_left() > 150:
-            try:
-                run_multitask_bench()
-            except Exception as e:
-                log("multitask bench failed:", e)
+            run_staged("multitask", run_multitask_bench, 0.5 * BUDGET_S)
         # train throughput before the serving/speculative extras: the
         # round-2 verdict called out training as the one perf axis with
         # zero data, so it must be banked even under a tight budget.
         if budget_left() > 90:
-            try:
-                run_train_bench()
-            except Exception as e:
-                log("train bench failed:", e)
+            run_staged("train", run_train_bench, 0.6 * BUDGET_S)
         if budget_left() > 150:
-            try:
-                run_serving_bench(cfg, vocab, seed)
-            except Exception as e:
-                log("serving bench failed:", e)
+            run_staged("serving", lambda: run_serving_bench(cfg, vocab, seed),
+                       0.6 * BUDGET_S)
         if budget_left() > 150:
-            try:
-                run_speculative_bench()
-            except Exception as e:
-                log("speculative bench failed:", e)
+            run_staged("speculative", run_speculative_bench, 0.6 * BUDGET_S)
         # LAST: the 85M s2s train step's XLA+remat compile is the biggest
         # cold-cache item in the whole bench (>10 min on a 1-vCPU host);
         # anything after it would be hostage to that compile finishing.
         if budget_left() > 150:
-            try:
-                run_multitask_train_bench()
-            except Exception as e:
-                log("multitask train bench failed:", e)
+            run_staged("mt_train", run_multitask_train_bench, 0.8 * BUDGET_S)
         if base <= 0.0 and budget_left() > 120:
             base = cpu_baseline()
             if base > 0:
@@ -708,6 +847,12 @@ def main():
     else:
         bank("cpu-run", cpu_baseline_tps=RESULT["value"] or 1.0)
 
+    # drain stages that blew their deadline but are still computing: their
+    # bank() still counts for anything that lands before the budget runs out
+    for name, th in _STAGE_THREADS:
+        while th.is_alive() and budget_left() > 25:
+            log(f"draining late stage {name} ({budget_left():.0f}s budget left)...")
+            th.join(timeout=10.0)
     emit(tag="complete")
 
 

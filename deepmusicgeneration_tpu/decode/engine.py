@@ -36,6 +36,23 @@ from ..models.config import TXLConfig
 from ..ops.sampling import FILTER_VALUE, filter_sample_sorted
 from ..vocab import SAMPLE_FREQ, MusicVocab
 
+_first_dispatch_done = False
+
+
+def _warn_if_first_dispatch_slow(done_event, threshold_s: float = 30.0):
+    """The axon tunnel charges a heavy-tailed once-per-process toll (observed
+    7–410 s) on the first nontrivial executable dispatch, independent of the
+    compile cache (docs/PERF.md "executable warm-up anatomy"). Tell the user
+    what is happening instead of appearing hung; the serving process pays
+    this once at startup, one-shot CLI calls pay it per invocation."""
+    if not done_event.wait(timeout=threshold_s):
+        logging.getLogger(__name__).warning(
+            "first TPU dispatch of this process is taking >%.0fs — this is "
+            "the tunnel's once-per-process executable warm-up (can take "
+            "minutes; unrelated to the compile cache). Subsequent calls in "
+            "this process will be fast; long-running serving (`cli serve`) "
+            "pays this only once.", threshold_s)
+
 
 @dataclass(frozen=True)
 class SamplerSettings:
@@ -669,19 +686,32 @@ class GenerationEngine:
             toks_d, pad_d = jnp.asarray(toks), jnp.asarray(pad)
             pos_d, last_d = jnp.asarray(pos), jnp.asarray(last_pos)
 
-        out, lengths = generate_compiled(
-            self.params, self.cfg,
-            toks_d, pad_d, pos_d, last_d, tables,
-            jnp.asarray(np.asarray(temperatures, np.float32)),
-            jnp.asarray(np.float32(top_p)), jnp.asarray(np.int32(min_bars)),
-            ins_mask, jax.random.PRNGKey(seed), settings,
-            window=W, mem_len=mem_len,
-            stacked=(None if not settings.fused
-                     else self.stacked_q() if settings.weights_int8
-                     else self.stacked()))
-        self.last_sharding = out.sharding  # inspectable by callers/tests
-        # one device_get for both outputs: sequential np.asarray fetches pay
-        # TWO tunnel roundtrips (~30 ms each on axon — measured, docs/PERF.md
-        # "short-call anatomy"); a joint fetch pays one
-        out, lengths = jax.device_get((out, lengths))
+        global _first_dispatch_done
+        watch = None
+        if not _first_dispatch_done and jax.default_backend() == "tpu":
+            import threading
+            done = threading.Event()
+            watch = done
+            threading.Thread(target=_warn_if_first_dispatch_slow, args=(done,),
+                             daemon=True).start()
+        try:
+            out, lengths = generate_compiled(
+                self.params, self.cfg,
+                toks_d, pad_d, pos_d, last_d, tables,
+                jnp.asarray(np.asarray(temperatures, np.float32)),
+                jnp.asarray(np.float32(top_p)), jnp.asarray(np.int32(min_bars)),
+                ins_mask, jax.random.PRNGKey(seed), settings,
+                window=W, mem_len=mem_len,
+                stacked=(None if not settings.fused
+                         else self.stacked_q() if settings.weights_int8
+                         else self.stacked()))
+            self.last_sharding = out.sharding  # inspectable by callers/tests
+            # one device_get for both outputs: sequential np.asarray fetches
+            # pay TWO tunnel roundtrips (~30 ms each on axon — measured,
+            # docs/PERF.md "short-call anatomy"); a joint fetch pays one
+            out, lengths = jax.device_get((out, lengths))
+        finally:
+            if watch is not None:
+                watch.set()
+                _first_dispatch_done = True
         return out[:B], lengths[:B]

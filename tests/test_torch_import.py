@@ -497,6 +497,82 @@ def test_cli_import_checkpoint_roundtrip(tmp_path):
         params["embed"], model.state_dict()["0.encoder.weight"].numpy())
 
 
+def test_flagship_pth_import_drill(tmp_path):
+    """Full-size dress rehearsal for the published ``lakh_genre_model.pth``
+    (README gdown id 1LJKXFEap9YrQ7Md4S38CD5ergr1jRVML, 411 MB): the EXACT
+    8L/d512/ff3072/12h architecture at 41,107,268 params, weights stored as
+    fp16 halves, fastai opt state present in the pickle, config dict in the
+    checkpoint's own key style (deep_music_genre.py:1784-1821) — imported and
+    verified by teacher-forced greedy (argmax) parity against the torch
+    mirror on the real ``fur_elise.mid`` prompt. When the real artifact
+    becomes stageable this test is the drill that de-risks
+    ``cli import-checkpoint`` on it.
+    """
+    from deepmusicgeneration_tpu.codec.item import MusicItem
+    from deepmusicgeneration_tpu.models.config import btp_phase1_config
+    from deepmusicgeneration_tpu.vocab import MusicVocab
+
+    cfg = btp_phase1_config().replace(
+        dtype="float32", embed_p=0.0, resid_p=0.0, attn_p=0.0, ff_p=0.0,
+        output_p=0.0)
+    model = _txl_mirror(cfg, seed=10)
+    # nn.Module.parameters() yields the tied head/embedding Parameter once
+    n_params = sum(p.numel() for p in model.parameters())
+    assert n_params == 41_107_268
+
+    # fp16 halves, exactly as a mixed-precision fastai Learner.save would
+    # store them; reload into the mirror so both sides share the rounded
+    # values the importer will see
+    sd_half = {k: v.half() for k, v in model.state_dict().items()}
+    model.load_state_dict(sd_half)  # copy_ casts fp16 → the module's fp32
+    # a fastai OptimWrapper state blob: per-param Adam moments + param_groups
+    opt_blob = {
+        "state": {0: {"step": 31400,
+                      "exp_avg": torch.zeros(8, 8),
+                      "exp_avg_sq": torch.zeros(8, 8)}},
+        "param_groups": [{"lr": 1e-4, "betas": (0.9, 0.99), "params": [0]}],
+    }
+    raw_cfg = {"ctx_len": 512, "n_layers": 8, "n_heads": 12, "d_model": 512,
+               "d_head": 64, "d_inner": 3072, "resid_p": 0.1, "attn_p": 0.1,
+               "ff_p": 0.1, "embed_p": 0.1, "output_p": 0.1, "bias": False,
+               "scale": True, "act": 3, "double_drop": True,
+               "tie_weights": True, "out_bias": True, "init": None,
+               "mem_len": 512, "mask": True}
+    path = os.path.join(tmp_path, "lakh_genre_model.pth")
+    torch.save({"model": sd_half, "opt": opt_blob, "config": raw_cfg}, path)
+    assert os.path.getsize(path) > 75e6  # full-size artifact (fp16 ≈ 82 MB)
+
+    icfg, params, vocab, extra = ti.import_torch_checkpoint(path)
+    assert icfg.n_layers == 8 and icfg.d_model == 512 and icfg.n_heads == 12
+    assert icfg.act == "gelu" and vocab.layout == "genre"
+
+    item = MusicItem.from_file("/root/reference/fur_elise.mid", vocab,
+                               genre="electronic").trim_to_beat(16)
+    x = np.asarray(item.remove_eos().data, np.int32)[:256][None]
+
+    # imported configs keep the TPU-default bfloat16 activations (what the
+    # product runs); the torch mirror is fp32, so compare in fp32
+    icfg = icfg.replace(dtype="float32")
+    theirs = _txl_mirror_forward(model, torch.from_numpy(x.astype(np.int64)))
+    state = txl.init_state(icfg, 1)
+    ours, _ = txl.forward(_jx(params), icfg, jnp.asarray(x), state=state)
+    ours = np.asarray(ours, np.float32)
+    # greedy (argmax) parity at every teacher-forced position: the imported
+    # weights drive the same next-token choices as the torch layout. A
+    # random-init 41M model has near-tied logits (unlike a trained one), so
+    # the few fp-noise flips are excused ONLY when the two candidates are
+    # numerically tied in the torch reference itself.
+    np.testing.assert_allclose(ours, theirs, atol=5e-3, rtol=5e-4)
+    am_o, am_t = ours.argmax(-1), theirs.argmax(-1)
+    dis = am_o != am_t
+    assert dis.mean() < 0.01, f"{dis.sum()} / {dis.size} argmax mismatches"
+    if dis.any():
+        gap = (theirs.max(-1) -
+               np.take_along_axis(theirs, am_o[..., None], -1)[..., 0])
+        assert gap[dis].max() < 1e-2, \
+            f"argmax flips beyond tie tolerance: {gap[dis].max()}"
+
+
 def test_untied_head_rejected():
     cfg = _small_txl_cfg(encode_position=False)
     model = _txl_mirror(cfg, seed=9)
