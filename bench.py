@@ -378,15 +378,15 @@ def run_batched_bench(engine, cfg, vocab, sweep: bool, seeds=None):
              batch64_roofline=dict(rf_by_kernel))
 
 
-def run_speculative_bench():
-    """Speculative decoding (prompt-lookup drafts, exact sampling) vs the
-    sequential engine on the TRAINED 41M checkpoint.
+def run_trained_bench():
+    """Single-stream decode of the TRAINED 41M checkpoint (checkpoint load +
+    commit_params + auto kernel) — the `cli generate --ckpt` product path,
+    app-default sampling (top_k=30, top_p=0.65 — app_utils.py:139-140).
 
-    Uses the trained checkpoint because acceptance comes from the model
-    actually predicting music: a random-init model's sampled continuations
-    are near-uniform over the grammar-legal set and nothing is accepted.
-    App-default sampling (top_k=30, top_p=0.65, the reference's engine
-    settings — app_utils.py:139-140)."""
+    Speculative decoding was retired here in round 5: measured 6,360 tok/s
+    (acceptance 0.54, gamma 8) vs 7,289 tok/s for the fused sequential
+    slab_w8 path on the same checkpoint/prompt — the writeup survives in
+    docs/PERF.md "Speculative decoding"."""
     import os as _os
     from deepmusicgeneration_tpu.codec.item import MusicItem
     from deepmusicgeneration_tpu.train.learner import MusicLearner
@@ -394,7 +394,7 @@ def run_speculative_bench():
     path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                          "checkpoints", "synth_genre_model")
     if not _os.path.exists(_os.path.join(path, "manifest.json")):
-        log("speculative bench: no trained checkpoint, skipping")
+        log("trained bench: no trained checkpoint, skipping")
         return
     learner = MusicLearner.load(path)
     engine = learner.engine
@@ -411,24 +411,9 @@ def run_speculative_bench():
     out_seq = seq(1)
     dt_seq = time.time() - t0
     seq_tps = len(out_seq) / dt_seq
-    log(f"trained seq decode: {len(out_seq)} tokens in {dt_seq:.2f}s → "
-        f"{seq_tps:.0f} tok/s")
-    bank("spec:seq", trained_seq_tokens_per_sec=round(seq_tps, 1))
-
-    if budget_left() < 90:
-        return
-    spec = lambda s: engine.generate_speculative(seed, seed=s, gamma=8,
-                                                 return_stats=True, **kw)
-    spec(0)
-    t0 = time.time()
-    out_spec, stats = spec(1)
-    dt_spec = time.time() - t0
-    spec_tps = len(out_spec) / dt_spec
-    log(f"speculative decode: {len(out_spec)} tokens in {dt_spec:.2f}s → "
-        f"{spec_tps:.0f} tok/s  {stats}")
-    bank("spec:spec", spec_decode_tokens_per_sec=round(spec_tps, 1),
-         spec_stats={k: round(v, 3) for k, v in stats.items()},
-         spec_vs_seq=round(spec_tps / seq_tps, 2))
+    log(f"trained decode (auto kernel): {len(out_seq)} tokens in {dt_seq:.2f}s "
+        f"→ {seq_tps:.0f} tok/s")
+    bank("trained", trained_seq_tokens_per_sec=round(seq_tps, 1))
 
 
 def run_serving_bench(cfg, vocab, seed):
@@ -825,7 +810,7 @@ def main():
                        0.5 * BUDGET_S)
         if budget_left() > 150:
             run_staged("multitask", run_multitask_bench, 0.5 * BUDGET_S)
-        # train throughput before the serving/speculative extras: the
+        # train throughput before the serving/trained-checkpoint extras: the
         # round-2 verdict called out training as the one perf axis with
         # zero data, so it must be banked even under a tight budget.
         if budget_left() > 90:
@@ -834,7 +819,7 @@ def main():
             run_staged("serving", lambda: run_serving_bench(cfg, vocab, seed),
                        0.6 * BUDGET_S)
         if budget_left() > 150:
-            run_staged("speculative", run_speculative_bench, 0.6 * BUDGET_S)
+            run_staged("trained", run_trained_bench, 0.6 * BUDGET_S)
         # LAST: the 85M s2s train step's XLA+remat compile is the biggest
         # cold-cache item in the whole bench (>10 min on a 1-vCPU host);
         # anything after it would be hostage to that compile finishing.

@@ -128,9 +128,9 @@ def prepare_logits(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pre-sampling logit processing: temperature slot + repeat penalty,
     min-bars BOS ban, grammar mask. Returns (masked logits, last_xxsep).
-    Shared by the sequential sampler, the speculative verifier, and the
-    continuous-batching engine (which passes the per-row parameter shapes:
-    every resident slot carries its own request's settings)."""
+    Shared by the sequential sampler and the continuous-batching engine
+    (which passes the per-row parameter shapes: every resident slot carries
+    its own request's settings)."""
     prev = st.prev_tok
     # last_xxsep flag update from prev (deep_music_genre.py:1901-1905)
     last_xxsep = jnp.where(prev == tables.sep_idx, True,
@@ -568,13 +568,6 @@ class GenerationEngine:
             temp_mode=temp_mode, seed=seed, mem_len=mem_len, kv_int8=kv_int8,
             decode_kernel=decode_kernel, rows_per_cell=rows_per_cell)
         return toks[0][: lengths[0]]
-
-    def generate_speculative(self, seed_idxenc, **kw):
-        """Exact speculative decoding (prompt-lookup drafts verified by
-        chunked forwards) for single-prompt latency; same output distribution
-        as ``generate(decode_kernel='xla')``. See decode/speculative.py."""
-        from .speculative import generate_speculative
-        return generate_speculative(self, seed_idxenc, **kw)
 
     def generate_batch(
         self,

@@ -787,122 +787,3 @@ def decode_step_ring(
     new_cache = RingKVCache(k=new_k, v=new_v, g=g,
                             ptr=(cache.ptr + 1) % M, g_cur=cache.g_cur + 1)
     return logits, new_cache
-
-
-def decode_chunk_ring(
-    params: Dict,
-    cfg: TXLConfig,
-    toks: jnp.ndarray,     # (B, C) chunk tokens, C small and static
-    pos: jnp.ndarray,      # (B, C) beat positions (used iff encode_position)
-    cache: RingKVCache,
-    wkr_all: jnp.ndarray,  # (L, H, M+1, Dh) from precompute_wkr
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """C-token verification forward over the ring cache WITHOUT writing it.
-
-    The speculative-decoding verifier (decode/speculative.py): all C tokens
-    run in one forward — the weight panels are read from HBM once for the
-    whole chunk instead of once per token, which is what makes verifying
-    gamma draft tokens nearly as cheap as decoding one. Chunk query i sees
-    exactly what the sequential step would: intra-chunk keys j <= i at
-    distances i-j (0 = self) plus ring slots at distances i+1..M (the BD term
-    reuses `decode_step_ring`'s reverse-then-roll identity, rolled i further
-    per query; wrapped entries alias to distances > M and are masked).
-
-    Returns (logits (B, C, V), chunk_k (L, B, H, C, Dh), chunk_v (same)) —
-    K/V are committed separately by :func:`ring_commit` once the verifier
-    knows how many chunk tokens were accepted.
-    """
-    B, C = toks.shape
-    dt = cfg.act_dtype
-    H, Dh = cfg.n_heads, cfg.d_head
-    M = cache.k.shape[3]
-    emb = params["embed"][toks].astype(dt)               # (B, C, D)
-    if cfg.encode_position:
-        emb = emb + beat_position_emb(params, cfg, pos).astype(dt)
-    h = emb
-
-    # ring-slot distances per chunk query: query i has global index g_cur + i
-    qi = jnp.arange(C, dtype=jnp.int32)
-    dist = (cache.g_cur + qi[None, :, None]) - cache.g[:, None, :]  # (B, C, M)
-    blocked = (dist < 1) | (dist > M)
-    scale = 1.0 / math.sqrt(Dh) if cfg.scale else 1.0
-    causal = jnp.tril(jnp.ones((C, C), bool))            # j <= i (incl. self)
-
-    u_b, v_b = params["u"].astype(dt), params["v"].astype(dt)
-    acc = jnp.float32
-    cks, cvs = [], []
-    for i, lp in enumerate(params["layers"]):
-        q, k1, v1 = _qkv(lp, h, H, Dh)                   # (B, H, C, Dh)
-        cks.append(k1)
-        cvs.append(v1)
-        ks, vs = cache.k[i], cache.v[i]                  # (B, H, M, Dh)
-        ac = jnp.einsum("bhqd,bhkd->bhqk", q + u_b, ks,
-                        preferred_element_type=acc)      # (B, H, C, M)
-        s_d = jnp.einsum("bhqd,hkd->bhqk", q + v_b, wkr_all[i],
-                         preferred_element_type=acc)     # (B, H, C, M+1)
-        # slot-space BD per query i: the single-step pattern rolled i further
-        # (slot j holds distance d0(j)+i; wrap-around entries land on
-        # distances > M and are killed by `blocked`)
-        bd = jnp.stack([jnp.roll(s_d[:, :, i2, :M], cache.ptr + i2, axis=-1)
-                        for i2 in range(C)], axis=2)     # (B, H, C, M)
-        score = (ac + bd) * scale
-        score = jnp.where(blocked[:, None], NEG_INF, score)
-        # intra-chunk: distance i-j for j <= i → wkr index M-(i-j)
-        ac_in = jnp.einsum("bhqd,bhkd->bhqk", q + u_b, k1,
-                           preferred_element_type=acc)   # (B, H, C, C)
-        bd_rows = [jnp.pad(s_d[:, :, i2, M - i2:M + 1],
-                           ((0, 0), (0, 0), (0, C - 1 - i2)))
-                   for i2 in range(C)]
-        bd_in = jnp.stack(bd_rows, axis=2)               # (B, H, C, C)
-        sc_in = (ac_in + bd_in) * scale
-        sc_in = jnp.where(causal[None, None], sc_in, NEG_INF)
-        full = jnp.concatenate([score, sc_in], axis=-1)  # (B, H, C, M+C)
-        prob = jax.nn.softmax(full.astype(jnp.float32), axis=-1).astype(dt)
-        attn = jnp.einsum("bhqk,bhkd->bhqd", prob[..., :M], vs,
-                          preferred_element_type=acc).astype(dt)
-        attn = attn + jnp.einsum("bhqk,bhkd->bhqd", prob[..., M:], v1,
-                                 preferred_element_type=acc).astype(dt)
-        attn = attn.transpose(0, 2, 1, 3).reshape(B, C, H * Dh)
-        out = attn @ lp["out_w"].astype(dt)
-        if lp["out_b"] is not None:
-            out = out + lp["out_b"].astype(dt)
-        h2 = _layer_norm(h + out, lp["ln1_g"], lp["ln1_b"])
-        ff = _act(h2 @ lp["ff1_w"].astype(dt) + lp["ff1_b"].astype(dt), cfg.act)
-        ff = ff @ lp["ff2_w"].astype(dt) + lp["ff2_b"].astype(dt)
-        h = _layer_norm(h2 + ff, lp["ln2_g"], lp["ln2_b"])
-
-    logits = h.astype(jnp.float32) @ params["embed"].T.astype(jnp.float32)
-    if params.get("head_b") is not None:
-        logits = logits + params["head_b"]
-    return logits, jnp.stack(cks), jnp.stack(cvs)
-
-
-def ring_commit(cache: RingKVCache, chunk_k: jnp.ndarray, chunk_v: jnp.ndarray,
-                n_commit: jnp.ndarray) -> RingKVCache:
-    """Write the first ``n_commit`` chunk tokens' K/V into the ring.
-
-    ``n_commit`` is traced (the verifier's accept count); slots past it are
-    read-modify-written with their existing contents so rejected drafts never
-    touch the cache. O(C) single-slot updates — C is the small static chunk.
-    """
-    L, B, H, C, Dh = chunk_k.shape
-    M = cache.k.shape[3]
-    k, v, g = cache.k, cache.v, cache.g
-    for t in range(C):
-        slot = (cache.ptr + t) % M
-        keep = t < n_commit
-        old_k = jax.lax.dynamic_slice(k, (0, 0, 0, slot, 0), (L, B, H, 1, Dh))
-        old_v = jax.lax.dynamic_slice(v, (0, 0, 0, slot, 0), (L, B, H, 1, Dh))
-        k = jax.lax.dynamic_update_slice(
-            k, jnp.where(keep, chunk_k[:, :, :, t:t + 1], old_k),
-            (0, 0, 0, slot, 0))
-        v = jax.lax.dynamic_update_slice(
-            v, jnp.where(keep, chunk_v[:, :, :, t:t + 1], old_v),
-            (0, 0, 0, slot, 0))
-        old_g = jax.lax.dynamic_slice(g, (0, slot), (B, 1))
-        g = jax.lax.dynamic_update_slice(
-            g, jnp.where(keep, jnp.broadcast_to(cache.g_cur + t, (B, 1))
-                         .astype(jnp.int32), old_g), (0, slot))
-    return RingKVCache(k=k, v=v, g=g,
-                       ptr=(cache.ptr + n_commit) % M,
-                       g_cur=cache.g_cur + n_commit)

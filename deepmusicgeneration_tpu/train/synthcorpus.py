@@ -22,6 +22,23 @@ part (counter-melody in its own instrument class), each phrase picks its own
 chord progression, and rests/anticipations vary per phrase — so low held-out
 perplexity requires tracking key, form, and multi-part texture rather than
 memorising one 4-bar loop.
+
+Round 5 (the v3 corpus) raises the musical complexity again — v2's 41M
+checkpoint had saturated the process (held-out ppl 1.141):
+
+* **secondary dominants**: ~1/3 of phrases replace a mid-loop chord with the
+  V7 of the chord that follows it (major-minor seventh built a perfect fifth
+  above the target root — chromatic, outside the scale), so harmony is no
+  longer predictable from the key alone;
+* **melodic ornaments**: passing-tone splits on longer melody notes and
+  1-step anticipations into strong beats;
+* **phrase cadences**: phrases tend to close on the chord root with a long
+  note — learnable closure instead of a random walk that never resolves;
+* **section textures**: each section picks full / no-comp / melody+bass
+  texture, and ~1/5 of sections hand the melody to the counter instrument
+  (a "solo" chorus), so instrumentation is conditioned on form position;
+* **wider form**: 2-6 phrases over 2-6 sections (+ optional reprise),
+  modulations from {±2, +5, +7, -3} semitones.
 """
 
 from __future__ import annotations
@@ -115,6 +132,27 @@ def _chord_tones(scale, root, degree, seventh: bool) -> List[int]:
     return tones
 
 
+# A chord slot is an int scale degree, or ('dom', target_degree): the
+# secondary dominant V7/target — a major-minor seventh rooted a perfect
+# fifth above the target's root, deliberately chromatic (v3 corpus).
+Chord = object
+
+
+def _chord_info(scale, root, ch, seventh: bool) -> Tuple[int, List[int]]:
+    """(bass_root_pitch, chord_tones) for a diatonic or secondary-dominant
+    chord slot."""
+    if isinstance(ch, tuple):
+        r = _degree_pitch(scale, root, ch[1]) + 7
+        return r, [r, r + 4, r + 7, r + 10]
+    return _degree_pitch(scale, root, ch), _chord_tones(scale, root, ch, seventh)
+
+
+def _melody_degree(ch) -> int:
+    """The degree melodies snap to: for a secondary dominant, its target
+    (the melody anticipates the resolution)."""
+    return ch[1] if isinstance(ch, tuple) else ch
+
+
 def _melody_phrase(rng, scale, root, chords, n_bars, durs, lift: int = 0,
                    rest_p: float = 0.12) -> List[Note]:
     """Random-walk melody over the scale; chord tones favoured on strong beats.
@@ -135,11 +173,16 @@ def _melody_phrase(rng, scale, root, chords, n_bars, durs, lift: int = 0,
     end = n_bars * STEPS_PER_BAR
     while step < end:
         bar = step // STEPS_PER_BAR
-        chord_deg = chords[bar % len(chords)]
+        chord_deg = _melody_degree(chords[bar % len(chords)])
         dur = int(rng.choice(dur_vals, p=dur_p))
         dur = min(dur, end - step)
         on_beat = step % SAMPLE_FREQ == 0
-        if on_beat and rng.random() < 0.6:
+        closing = step + dur >= end  # final slot of the phrase
+        if closing and rng.random() < 0.6:
+            # cadence (v3): phrases tend to resolve to the chord root, held
+            deg = chord_deg + 7 + lift
+            dur = end - step
+        elif on_beat and rng.random() < 0.6:
             # snap to the nearest chord tone (strong-beat consonance)
             choices = [chord_deg, chord_deg + 2, chord_deg + 4]
             deg = min((c + 7 + lift for c in choices),
@@ -148,8 +191,25 @@ def _melody_phrase(rng, scale, root, chords, n_bars, durs, lift: int = 0,
             deg += int(rng.integers(-2, 3))
         deg = int(np.clip(deg, 5 + lift, min(20 + lift, 24)))
         if rng.random() > rest_p:
-            pitch = _degree_pitch(scale, root, deg)
-            notes.append((int(np.clip(pitch, 24, 102)), step, dur))
+            pitch = int(np.clip(_degree_pitch(scale, root, deg), 24, 102))
+            last_pitch = notes[-1][0] if notes else -1
+            start = step
+            if (on_beat and not closing and step > 0 and pitch != last_pitch
+                    and rng.random() < 0.1):
+                start = step - 1        # anticipation into the strong beat (v3)
+            if dur >= 4 and not closing and rng.random() < 0.18:
+                # passing-tone ornament (v3): approach the target through a
+                # neighbouring scale degree in the first half of the slot
+                half = dur // 2
+                ndeg = deg + (1 if rng.random() < 0.5 else -1)
+                npitch = int(np.clip(_degree_pitch(scale, root, ndeg), 24, 102))
+                if npitch != pitch and npitch != last_pitch:
+                    notes.append((npitch, start, half))
+                    notes.append((pitch, step + half, dur - half))
+                else:
+                    notes.append((pitch, step, dur))
+            else:
+                notes.append((pitch, start, dur))
         step += dur
     return notes
 
@@ -166,8 +226,7 @@ def _counter_phrase(rng, scale, root, chords, n_bars, durs) -> List[Note]:
 def _comp_phrase(rng, scale, root, chords, n_bars, mode, seventh) -> List[Note]:
     notes: List[Note] = []
     for bar in range(n_bars):
-        deg = chords[bar % len(chords)]
-        tones = _chord_tones(scale, root, deg, seventh)
+        _, tones = _chord_info(scale, root, chords[bar % len(chords)], seventh)
         base = bar * STEPS_PER_BAR
         if mode == "block":          # whole- or two-half-bar block chords
             halves = (0, 8) if rng.random() < 0.5 else (0,)
@@ -203,9 +262,9 @@ def _comp_phrase(rng, scale, root, chords, n_bars, mode, seventh) -> List[Note]:
 def _bass_phrase(rng, scale, root, chords, n_bars, mode) -> List[Note]:
     notes: List[Note] = []
     for bar in range(n_bars):
-        deg = chords[bar % len(chords)]
         base = bar * STEPS_PER_BAR
-        rt = _degree_pitch(scale, root, deg) - 24
+        rt, _ = _chord_info(scale, root, chords[bar % len(chords)], False)
+        rt -= 24
         fifth = rt + 7
         if mode == "roots":
             notes.append((rt, base, 16))
@@ -216,7 +275,9 @@ def _bass_phrase(rng, scale, root, chords, n_bars, mode) -> List[Note]:
             for i in range(8):
                 notes.append((rt if i % 4 != 3 else fifth, base + i * 2, 2))
         elif mode == "walking":      # quarter-note walk toward the next root
-            nxt = _degree_pitch(scale, root, chords[(bar + 1) % len(chords)]) - 24
+            nxt, _ = _chord_info(scale, root,
+                                 chords[(bar + 1) % len(chords)], False)
+            nxt -= 24
             walk = [rt, rt + (2 if nxt > rt else -2), fifth,
                     nxt + (1 if nxt < fifth else -1)]
             for i, p in enumerate(walk):
@@ -245,10 +306,16 @@ def generate_song(genre: str, seed: int) -> np.ndarray:
     root = int(rng.integers(45, 57))  # key center A2..G#3
 
     progs = style["progressions"]
-    n_phrases = int(rng.integers(2, 5))
+    n_phrases = int(rng.integers(2, 7))
     phrases = []
     for _ in range(n_phrases):
-        prog = list(progs[int(rng.integers(len(progs)))])
+        prog: List = list(progs[int(rng.integers(len(progs)))])
+        if rng.random() < 0.35 and len(prog) >= 4:
+            # secondary dominant (v3): a mid-loop slot becomes V7 of the
+            # chord that follows it — chromatic tension the key alone
+            # cannot predict
+            slot = int(rng.integers(1, len(prog) - 1))
+            prog[slot] = ("dom", prog[slot + 1])
         phrases.append(dict(
             seed=int(rng.integers(0, 2**31)),
             prog=prog,
@@ -256,18 +323,22 @@ def generate_song(genre: str, seed: int) -> np.ndarray:
             rest_p=float(rng.uniform(0.05, 0.25)),
         ))
 
-    # Form grammar: each section arranges 4 phrase slots (AABA-biased) and
-    # carries its own key offset; the song is the section list, with the
-    # opening section reprised half the time.
-    n_sections = int(rng.integers(2, 5))
+    # Form grammar: each section arranges 4 phrase slots (AABA-biased), a
+    # key offset, a texture, and (v3) possibly a solo chorus where the
+    # counter instrument takes the melody; the song is the section list,
+    # with the opening section reprised half the time.
+    n_sections = int(rng.integers(2, 7))
     sections = []
     for s in range(n_sections):
         ids = rng.integers(0, n_phrases, size=4).tolist()
         if rng.random() < 0.6:
             a, b = ids[0], ids[1]
             ids = [a, a, b, a]
-        offset = 0 if s == 0 else int(rng.choice([0, 2, -2, 5]))
-        sections.append((ids, offset))
+        offset = 0 if s == 0 else int(rng.choice([0, 2, -2, 5, 7, -3]))
+        texture = ("full" if s == 0
+                   else str(rng.choice(["full", "full", "sparse", "break"])))
+        solo = s > 0 and rng.random() < 0.2
+        sections.append((ids, offset, texture, solo))
     order = list(range(n_sections))
     if rng.random() < 0.5:
         order.append(0)  # reprise
@@ -276,22 +347,24 @@ def generate_song(genre: str, seed: int) -> np.ndarray:
     parts: Dict[int, List[Note]] = {}
     bar0 = 0
     for sec_i in order:
-        ids, offset = sections[sec_i]
+        ids, offset, texture, solo = sections[sec_i]
         sroot = int(np.clip(root + offset, 40, 62))
+        mel_ins = style["counter_ins"] if solo else style["melody_ins"]
         for ph in ids:
             P = phrases[ph]
             prng = np.random.default_rng(P["seed"])
-            lift = 7 if style["melody_ins"] == style["comp_ins"] else 0
+            lift = 7 if mel_ins == style["comp_ins"] else 0
             mel = _melody_phrase(prng, scale, sroot, P["prog"], P["bars"],
                                  style["melody_durs"], lift=lift,
                                  rest_p=P["rest_p"])
-            comp = _comp_phrase(prng, scale, sroot, P["prog"], P["bars"],
-                                style["comp"], style["seventh"])
             bass = _bass_phrase(prng, scale, sroot, P["prog"], P["bars"],
                                 style["bass"])
-            emit = [(style["melody_ins"], mel), (style["comp_ins"], comp),
-                    (style["bass_ins"], bass)]
-            if has_counter:
+            emit = [(mel_ins, mel), (style["bass_ins"], bass)]
+            if texture != "break":     # 'break' drops the accompaniment (v3)
+                comp = _comp_phrase(prng, scale, sroot, P["prog"], P["bars"],
+                                    style["comp"], style["seventh"])
+                emit.append((style["comp_ins"], comp))
+            if has_counter and not solo and texture == "full":
                 ctr = _counter_phrase(prng, scale, sroot, P["prog"],
                                       P["bars"], style["melody_durs"])
                 emit.append((style["counter_ins"], ctr))
