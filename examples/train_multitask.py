@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import numpy as np
 
-from deepmusicgeneration_tpu.codec.item import MultitrackItem
+from deepmusicgeneration_tpu.codec.item import MultitrackItem, MusicItem
 from deepmusicgeneration_tpu.models.config import MultitaskConfig, multitask_config
 from deepmusicgeneration_tpu.train.data import LMStreamLoader, S2SLoader, mask_lm_tfm_pitchdur
 from deepmusicgeneration_tpu.train.learner import MultitaskLearner
@@ -42,6 +42,11 @@ def main():
                     help="per-block jax.checkpoint in the train step; needed "
                          "for the full 85M model at bs>=32, bptt 512 on one "
                          "16 GB chip")
+    ap.add_argument("--max-files", type=int,
+                    help="cap the corpus at this many npenc files (the mask/"
+                         "s2s batches are materialized up front, so a corpus "
+                         "sized for the streaming LM trainer can exceed host "
+                         "RAM here; deterministic subsample)")
     args = ap.parse_args()
     if not args.src and not args.npy_data:
         ap.error("one of --src / --npy-data is required")
@@ -53,8 +58,18 @@ def main():
     midis = []
     npenc_paths = []
     if args.npy_data:
-        corpus = load_corpus(os.path.join(args.npy_data, "train"), vocab)
         npenc_paths = sorted(Path(args.npy_data, "train").rglob("*.npy"))
+        if args.max_files and len(npenc_paths) > args.max_files:
+            rs = np.random.default_rng(0)
+            keep = rs.choice(len(npenc_paths), args.max_files, replace=False)
+            npenc_paths = [npenc_paths[i] for i in sorted(keep)]
+        corpus = []
+        for p in npenc_paths:   # idxenc with genre-from-dirname, as load_corpus
+            try:
+                corpus.append(MusicItem.from_npenc(
+                    np.load(p), vocab, genre=p.parent.name.lower()).data)
+            except Exception:
+                continue
     else:
         cache = os.path.join(args.out, "cache")
         midis = sorted(Path(args.src).rglob("*.mid")) + sorted(Path(args.src).rglob("*.midi"))
