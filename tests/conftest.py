@@ -46,6 +46,58 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import pytest
 
+# Tests measured >=10 s on the 1-vCPU CPU backend (full-suite --durations,
+# round 5: 430 tests in 26:19 total). Marked centrally so the fast path —
+# ``pytest -m "not slow"`` — stays under ~10 minutes without deleting any
+# coverage; CI/judge runs use the full suite. Parametrized variants inherit
+# the mark via their base name.
+SLOW_TEST_BASENAMES = {
+    "test_heldout_perplexity_generalizes",
+    "test_multitask_learner_fit_with_mesh",
+    "test_sharded_multitask_flash_train_matches_unsharded_xla",
+    "test_ring_sharded_train_step_matches_single_device_ctx2048",
+    "test_blocked_prefill_matches_whole_kernel",
+    "test_sharded_multitask_step_matches_single_device",
+    "test_blocked_prefill_long_window_matches_xla",
+    "test_beam_search_on_trained_checkpoint",
+    "test_full_config_param_count",
+    "test_multitask_forward_flash_train_end_to_end",
+    "test_serve_suite_in_subprocess",
+    "test_sharded_flash_train_matches_unsharded_xla",
+    "test_bidir_forward_and_grad_parity",
+    "test_mask_infill_recovers_heldout_notes",
+    "test_sharded_train_step_runs_and_matches_single_device",
+    "test_multitask_learner_fit_and_predict",
+    "test_mt_xla_training_dropout_paths",
+    "test_grad_parity_bf16",
+    "test_batched_generation_dp_sharded",
+    "test_ring_forward_matches_xla_forward_ctx2048",
+    "test_flash_dropout_grad_finite_differences",
+    "test_cross_forward_and_grad_parity",
+    "test_greedy_sample_grammar_valid_nonstrict",
+    "test_s2s_vocab_layout_end_to_end",
+    "test_s2s_teacher_forced_accuracy",
+    "test_s2s_ring_matches_shift",
+    "test_slab_kernel_matches_ring",
+    "test_flash_encoder_matches_xla",
+    "test_predict_nw_on_trained_checkpoint",
+    "test_s2s_decoder_step_matches_full",
+    "test_grad_parity",
+    "test_learner_overfit_tiny",
+    "test_flash_decoder_prefill_matches_xla",
+    "test_flash_dropout_determinism_and_effect",
+    "test_remat_forward_and_grad_parity",
+}
+# whole modules whose shared fixtures dominate (subprocess HTTP server)
+SLOW_MODULES = {"test_server"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for it in items:
+        if (it.name.split("[")[0] in SLOW_TEST_BASENAMES
+                or it.fspath.purebasename in SLOW_MODULES):
+            it.add_marker(pytest.mark.slow)
+
 FIXTURES = [
     "/root/reference/fur_elise.mid",
     "/root/reference/Undertale_-_Megalovania.mid",
