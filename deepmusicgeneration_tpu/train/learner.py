@@ -228,6 +228,13 @@ class MusicLearner:
             loss, acc = cross_entropy(logits, batch["y"], self.vocab.pad_idx)
             return loss, acc, new_mem
 
+        # checkpoint-loaded params are host numpy: without an explicit
+        # device_put, EVERY eval_step call re-uploads the full ~164 MB fp32
+        # tree through the tunnel (~1.7 s/batch measured — a 900-song eval
+        # took 40+ min). Same class of bug as the round-3 decode fix
+        # (models/precision.py::commit_params). Mid-training calls pass
+        # device arrays, for which this is a no-op.
+        params = jax.device_put(params)
         mem = txl.init_state(self.cfg, loader.bs)
         tot_l, tot_a, n = 0.0, 0.0, 0
         for batch in loader:
