@@ -76,3 +76,38 @@ def test_grammar_violations_strict_flags_tempo_tokens(vocab):
     strict = grammar_violations(doctored, vocab, strict=True)
     # mt0 itself is legal non-strict; downstream tokens may still misalign
     assert strict > nonstrict >= base
+
+
+def test_secondary_dominant_chord_info():
+    """v3: ('dom', target) slots build the V7 of the target — major-minor
+    seventh rooted a perfect fifth above the target's root, chromatic by
+    construction (the major third sits outside most source scales)."""
+    from deepmusicgeneration_tpu.train.synthcorpus import (
+        MAJOR, MINOR, _chord_info, _degree_pitch, _melody_degree)
+
+    root = 48
+    tgt_root = _degree_pitch(MINOR, root, 3)
+    r, tones = _chord_info(MINOR, root, ("dom", 3), seventh=False)
+    assert r == tgt_root + 7
+    assert tones == [r, r + 4, r + 7, r + 10]          # dominant seventh
+    # its major third is NOT a scale tone of the minor key (chromatic color)
+    assert (tones[1] - root) % 12 not in [d % 12 for d in MINOR]
+    # melodies snap to the RESOLUTION degree, not the dominant
+    assert _melody_degree(("dom", 3)) == 3
+    assert _melody_degree(5) == 5
+    # diatonic slots are unchanged by the v3 refactor
+    r2, t2 = _chord_info(MAJOR, root, 0, seventh=True)
+    assert r2 == root and len(t2) == 4
+
+
+def test_v3_songs_vary_texture_and_form():
+    """v3 songs draw different section counts/textures; over a seed range
+    the emitted part-count and length distributions must actually vary
+    (guards against the form grammar collapsing to one shape)."""
+    lengths, ins_sets = set(), set()
+    for s in range(12):
+        a = generate_song("jazz", 100 + s)
+        lengths.add(len(a))
+        ins_sets.add(frozenset(int(i) for i in a[a[:, 0] >= 0][:, 2]))
+    assert len(lengths) >= 10          # forms differ
+    assert len(ins_sets) >= 2          # textures/solos change instrumentation
