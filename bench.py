@@ -377,6 +377,23 @@ def run_batched_bench(engine, cfg, vocab, sweep: bool, seeds=None):
              batch64_by_kernel=dict(by_kernel),
              batch64_roofline=dict(rf_by_kernel))
 
+    # B=128: slab_ar_w8 keeps scaling past 64 (54.8k vs 48.7-52.5k measured
+    # on v5e) — the serving-throughput ceiling, banked when budget allows
+    if budget_left() > 90:
+        try:
+            seeds2 = seeds + seeds
+            engine.generate_batch(seeds2, n_words=n_words, min_bars=1_000_000,
+                                  seed=0)
+            t0 = time.time()
+            engine.generate_batch(seeds2, n_words=n_words, min_bars=1_000_000,
+                                  seed=1)
+            dt = time.time() - t0
+            tps = 2 * batch * n_words / dt
+            log(f"batched decode [auto B=128]: {tps:.0f} tok/s ({dt:.3f}s)")
+            bank("batched:b128", batch128_tokens_per_sec=round(tps, 1))
+        except Exception as e:
+            log(f"B=128 batched decode failed: {e}")
+
 
 def run_trained_bench():
     """Single-stream decode of the TRAINED 41M checkpoint (checkpoint load +
